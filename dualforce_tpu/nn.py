@@ -1,0 +1,209 @@
+"""Functional NN primitives.
+
+Models in this framework are pure functions over parameter pytrees (nested
+dicts of jnp arrays). Each module provides `<name>_init(key, ...) -> params`
+and an apply function. This keeps the whole model jit/scan/pjit-friendly and
+makes torch->JAX weight conversion mechanical (names mirror the reference
+modules' state-dict keys).
+
+Numerics conventions (deliberately matching the reference):
+  - LayerNorm / RMSNorm statistics computed in float32, result cast back.
+  - Linear kernels stored as [in, out] (JAX convention; converters transpose).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+def _uniform(key, shape, bound, dtype):
+    return jax.random.uniform(key, shape, minval=-bound, maxval=bound, dtype=jnp.float32).astype(dtype)
+
+
+def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32, bias: bool = True):
+    """Matches torch.nn.Linear default init (kaiming-uniform kernel, uniform bias)."""
+    kk, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    p = {"kernel": _uniform(kk, (in_dim, out_dim), bound, dtype)}
+    if bias:
+        p["bias"] = _uniform(kb, (out_dim,), bound, dtype)
+    return p
+
+
+def linear(p, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def layer_norm_init(dim: int, dtype=jnp.float32, affine: bool = True):
+    if not affine:
+        return {}
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(x: jnp.ndarray, eps: float = 1e-6, params: Optional[dict] = None) -> jnp.ndarray:
+    """LayerNorm with fp32 statistics; affine applied if params given."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if params:
+        y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def rms_norm_init(dim: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype)}
+
+
+def rms_norm(x: jnp.ndarray, params: dict, eps: float = 1e-6) -> jnp.ndarray:
+    """RMSNorm over the last axis, fp32 statistics (torch.nn.RMSNorm convention:
+    normalize in fp32, multiply by weight, cast back — wan_video_dit.py:140-151)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    y = y * params["scale"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=True)
+
+
+def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)
+
+
+# ---------------------------------------------------------------------------
+# patch embedding (replaces stride==kernel Conv3d/Conv1d with reshape+matmul,
+# which maps directly onto the MXU instead of going through conv lowering)
+# ---------------------------------------------------------------------------
+
+def patch_embed_3d_init(key, in_dim: int, dim: int, patch_size: Tuple[int, int, int],
+                        dtype=jnp.float32):
+    """Equivalent to nn.Conv3d(in_dim, dim, kernel_size=patch, stride=patch).
+
+    Kernel stored as [in_dim * pt * ph * pw, dim] with the flattened input
+    ordering (c, pt, ph, pw) — the torch conv weight [dim, in, pt, ph, pw]
+    converts via reshape+transpose.
+    """
+    pt, ph, pw = patch_size
+    fan_in = in_dim * pt * ph * pw
+    kk, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in)
+    return {
+        "kernel": _uniform(kk, (fan_in, dim), bound, dtype),
+        "bias": _uniform(kb, (dim,), bound, dtype),
+    }
+
+
+def patch_embed_3d(p, x: jnp.ndarray, patch_size: Tuple[int, int, int]):
+    """x: [B, C, F, H, W] -> tokens [B, f*h*w, dim], grid (f, h, w).
+
+    Token order matches the reference's `rearrange(x, 'b c f h w -> b (f h w) c')`
+    after the conv (wan_video_dit.py:399-409).
+    """
+    b, c, F, H, W = x.shape
+    pt, ph, pw = patch_size
+    f, h, w = F // pt, H // ph, W // pw
+    x = x.reshape(b, c, f, pt, h, ph, w, pw)
+    # -> [b, f, h, w, (c, pt, ph, pw)]
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7).reshape(b, f * h * w, c * pt * ph * pw)
+    return linear(p, x), (f, h, w)
+
+
+def unpatchify_3d(x: jnp.ndarray, grid: Tuple[int, int, int],
+                  patch_size: Tuple[int, int, int], out_dim: int) -> jnp.ndarray:
+    """Inverse of head output: [B, f*h*w, pt*ph*pw*out] -> [B, out, F, H, W].
+
+    Channel-last within the patch, matching the reference's
+    `rearrange('b (f h w) (x y z c) -> b c (f x) (h y) (w z)')` (wan_video_dit.py:411-416).
+    """
+    f, h, w = grid
+    pt, ph, pw = patch_size
+    b = x.shape[0]
+    x = x.reshape(b, f, h, w, pt, ph, pw, out_dim)
+    x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)  # b, c, f, pt, h, ph, w, pw
+    return x.reshape(b, out_dim, f * pt, h * ph, w * pw)
+
+
+def patch_embed_1d_init(key, in_dim: int, dim: int, patch_size: int, dtype=jnp.float32):
+    """Equivalent to nn.Conv1d(in_dim, dim, kernel_size=p, stride=p)."""
+    fan_in = in_dim * patch_size
+    kk, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in)
+    return {
+        "kernel": _uniform(kk, (fan_in, dim), bound, dtype),
+        "bias": _uniform(kb, (dim,), bound, dtype),
+    }
+
+
+def patch_embed_1d(p, x: jnp.ndarray, patch_size: int):
+    """x: [B, C, T] -> tokens [B, T//p, dim] (wan_audio_dit.py:180-188)."""
+    b, c, T = x.shape
+    f = T // patch_size
+    x = x.reshape(b, c, f, patch_size).transpose(0, 2, 1, 3).reshape(b, f, c * patch_size)
+    return linear(p, x), f
+
+
+def unpatchify_1d(x: jnp.ndarray, patch_size: int, out_dim: int) -> jnp.ndarray:
+    """[B, f, p*out] -> [B, out, f*p] (wan_audio_dit.py:190-195: 'b f (p c) -> b c (f p)')."""
+    b, f, _ = x.shape
+    x = x.reshape(b, f, patch_size, out_dim)
+    return x.transpose(0, 3, 1, 2).reshape(b, out_dim, f * patch_size)
+
+
+# ---------------------------------------------------------------------------
+# time / sinusoidal embedding
+# ---------------------------------------------------------------------------
+
+def sinusoidal_embedding_1d(dim: int, position: jnp.ndarray) -> jnp.ndarray:
+    """[cos | sin] sinusoid embedding (wan_video_dit.py:99-103; cos first).
+
+    The reference computes in float64; on TPU we use float32 (error at
+    t<=1000, freq<=1 is ~1e-5, within bf16 tower noise).
+    """
+    half = dim // 2
+    freqs = jnp.power(10000.0, -jnp.arange(half, dtype=jnp.float32) / half)
+    sinusoid = position.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(sinusoid), jnp.sin(sinusoid)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# pytree helpers
+# ---------------------------------------------------------------------------
+
+def stack_params(param_list: Sequence[dict]) -> dict:
+    """Stack a list of identically-structured param trees along a new axis 0
+    (for lax.scan over layers)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *param_list)
+
+
+def index_params(params: dict, i) -> dict:
+    """Select layer i from stacked params."""
+    return jax.tree.map(lambda x: x[i], params)
+
+
+def param_count(params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def cast_tree(params, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, params
+    )

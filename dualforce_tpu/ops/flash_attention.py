@@ -1,0 +1,344 @@
+"""Pallas TPU flash attention (forward + backward).
+
+TPU-native replacement for the reference's flash-attn 2/3 CUDA kernels
+(wan_video_dit.py:18-91). Non-causal, head_dim a multiple of 128 (MXU lane
+width), bf16 inputs with fp32 accumulation, optional per-batch kv-length
+masking (batched serving with padded text contexts).
+
+Covers all MOVA attention shapes:
+  - video self-attn:   Sq = Sk ≈ 43k (360p) / 170k (720p), D=128
+  - text cross-attn:   Sq ≈ 43k, Sk = 512
+  - bridge cross-attn: asymmetric 43k↔403 (the 403-token side falls back to
+    XLA attention in the dispatcher — too small to tile)
+
+Design: grid (B*N, num_q_blocks, num_k_blocks), sequential minor-most k axis;
+online-softmax state (m, l, acc) lives in VMEM scratch across k iterations.
+Backward splits into a dq kernel (k minor) and a dkv kernel (q minor), with
+per-row logsumexp saved by the forward and delta = rowsum(dO*O) computed in
+XLA (cheap elementwise).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+DEFAULT_BQ = 512
+DEFAULT_BK = 512
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(vlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref, *, scale: float, bq: int, bk: int,
+                masked: bool):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [bq, d]
+    k = k_ref[0]  # [bk, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+
+    if masked:
+        vlen = vlen_ref[0]
+        kpos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        s = jnp.where(kpos < vlen, s, NEG_INF)
+
+    m_prev = m_ref[:]  # [bq, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # [bq, bk]
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_ref[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[:] + jnp.log(l_safe))[:, 0]
+
+
+def _fwd(q, k, v, kv_valid_len, bq: int, bk: int):
+    """q: [BN, Sq, D]; k/v: [BN, Sk, D]; kv_valid_len: [BN, 1] int32 or None."""
+    bn, sq, d = q.shape
+    sk = k.shape[1]
+    bq = min(bq, _ceil_to(sq, 128))
+    bk = min(bk, _ceil_to(sk, 128))
+    sq_p, sk_p = _ceil_to(sq, bq), _ceil_to(sk, bk)
+
+    masked = kv_valid_len is not None or sk_p != sk
+    if kv_valid_len is None:
+        kv_valid_len = jnp.full((bn, 1), sk, jnp.int32)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0)))
+    if sk_p != sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
+
+    grid = (bn, sq_p // bq, sk_p // bk)
+    scale = d ** -0.5
+
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, bq=bq, bk=bk, masked=masked),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, qi, ki: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bq), lambda b, qi, ki: (b, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bn, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bn, sq_p), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bn * sq_p * sk_p * d,
+            bytes_accessed=2 * bn * (sq_p + 2 * sk_p) * d,
+            transcendentals=bn * sq_p * sk_p,
+        ),
+    )(kv_valid_len, q, k, v)
+    return out[:, :sq], lse[:, :sq]
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(vlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_acc, *, scale: float, bq: int, bk: int, masked: bool):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if masked:
+        vlen = vlen_ref[0]
+        kpos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        s = jnp.where(kpos < vlen, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, None])  # [bq, bk]
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+    ds = p * (dp - delta_ref[0][:, None])  # [bq, bk] f32
+    dq_acc[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(ki == nk - 1)
+    def _fin():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(vlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float, bq: int,
+                    bk: int, masked: bool):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+    ki = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]  # [bq, d]
+    k = k_ref[0]  # [bk, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+    if masked:
+        vlen = vlen_ref[0]
+        kpos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        s = jnp.where(kpos < vlen, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, None])  # [bq, bk]
+    do = do_ref[0]  # [bq, d]
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bk, d]
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+    ds = p * (dp - delta_ref[0][:, None])
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(qi == nq - 1)
+    def _fin():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
+    bn, sq, d = q.shape
+    sk = k.shape[1]
+    bq = min(bq, _ceil_to(sq, 128))
+    bk = min(bk, _ceil_to(sk, 128))
+    sq_p, sk_p = _ceil_to(sq, bq), _ceil_to(sk, bk)
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [bn, sq]
+
+    masked = kv_valid_len is not None or sk_p != sk
+    if kv_valid_len is None:
+        kv_valid_len = jnp.full((bn, 1), sk, jnp.int32)
+    if sq_p != sq:
+        pad = ((0, 0), (0, sq_p - sq), (0, 0))
+        q, do = jnp.pad(q, pad), jnp.pad(do, pad)
+        # padded q rows: lse=0, delta=0, p=exp(-0)=1 — harmless for dq (rows
+        # sliced off) but poisons dk/dv; force p≈0 by setting lse very high.
+        lse = jnp.pad(lse, ((0, 0), (0, sq_p - sq)), constant_values=-NEG_INF)
+        delta = jnp.pad(delta, ((0, 0), (0, sq_p - sq)))
+    if sk_p != sk:
+        pad = ((0, 0), (0, sk_p - sk), (0, 0))
+        k, v = jnp.pad(k, pad), jnp.pad(v, pad)
+
+    scale = d ** -0.5
+    common_specs = [
+        pl.BlockSpec((1, 1), lambda b, i, j: (b, 0), memory_space=pltpu.SMEM),
+    ]
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, bq=bq, bk=bk, masked=masked),
+        grid=(bn, sq_p // bq, sk_p // bk),
+        in_specs=common_specs + [
+            pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),   # q
+            pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),   # k
+            pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),   # v
+            pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),   # do
+            pl.BlockSpec((1, bq), lambda b, qi, ki: (b, qi)),         # lse
+            pl.BlockSpec((1, bq), lambda b, qi, ki: (b, qi)),         # delta
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bn, sq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(kv_valid_len, q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, bq=bq, bk=bk, masked=masked),
+        grid=(bn, sk_p // bk, sq_p // bq),
+        in_specs=common_specs + [
+            pl.BlockSpec((1, bq, d), lambda b, ki, qi: (b, qi, 0)),   # q
+            pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),   # k
+            pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),   # v
+            pl.BlockSpec((1, bq, d), lambda b, ki, qi: (b, qi, 0)),   # do
+            pl.BlockSpec((1, bq), lambda b, ki, qi: (b, qi)),         # lse
+            pl.BlockSpec((1, bq), lambda b, ki, qi: (b, qi)),         # delta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bn, sk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((bn, sk_p, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(kv_valid_len, q, k, v, do, lse, delta)
+
+    return dq[:, :sq], dk[:, :sk], dv[:, :sk]
+
+
+# ---------------------------------------------------------------------------
+# public API with custom VJP, [B, S, N, D] layout
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash(q, k, v, kv_valid_len, bq, bk):
+    o, _ = _fwd(q, k, v, kv_valid_len, bq, bk)
+    return o
+
+
+def _flash_fwd(q, k, v, kv_valid_len, bq, bk):
+    o, lse = _fwd(q, k, v, kv_valid_len, bq, bk)
+    return o, (q, k, v, o, lse, kv_valid_len)
+
+
+def _flash_bwd(bq, bk, res, do):
+    q, k, v, o, lse, kv_valid_len = res
+    dq, dk, dv = _bwd(q, k, v, o, lse, do, kv_valid_len, bq, bk)
+    dvlen = (
+        None if kv_valid_len is None
+        else np.zeros(kv_valid_len.shape, jax.dtypes.float0)
+    )
+    return dq, dk, dv, dvlen
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_valid_len: Optional[jnp.ndarray] = None,
+    block_q: int = DEFAULT_BQ,
+    block_k: int = DEFAULT_BK,
+) -> jnp.ndarray:
+    """Flash attention over [B, S, N, D] tensors (batched over B*N)."""
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    qf = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    vlen = None
+    if kv_valid_len is not None:
+        vlen = jnp.repeat(kv_valid_len.astype(jnp.int32).reshape(b, 1), n, axis=0)
+    o = _flash(qf, kf, vf, vlen, block_q, block_k)
+    return o.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
