@@ -213,8 +213,8 @@ def tiny_test_config(
     *,
     visual_layers: int = 2,
     audio_layers: int = 2,
-    dim: int = 128,
-    audio_dim: int = 64,
+    dim: int = 96,  # head_dim 48 -> valid 3-way RoPE split (16+16+16 halves)
+    audio_dim: int = 48,
     num_heads: int = 2,
     audio_heads: int = 2,
     text_dim: int = 32,

@@ -1,0 +1,214 @@
+"""MOVA TI2VA inference pipeline — TPU-native.
+
+Behavioural reference: MOVA.__call__ (pipeline_mova.py:321-494): prompt clean
+-> UMT5 embed (pad to 512) -> prepare video latents (first-frame VAE encode +
+4-channel temporal mask) -> prepare audio latents -> paired flow-match denoise
+loop with two-expert switch + text CFG -> bf16 video VAE decode + fp32 DAC
+decode.
+
+Differences (TPU-first): the whole denoise loop is ONE jitted XLA program
+(diffusion/sampler.py); weights live HBM-resident (optionally GSPMD-sharded)
+instead of CPU-offloaded; generation geometry is static per (H, W, frames)
+bucket so recompiles only happen per bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import html
+import re
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dualforce_tpu.config import MOVAConfig
+from dualforce_tpu.diffusion.flow_match import FlowMatchPairScheduler
+from dualforce_tpu.diffusion.sampler import SamplePlan, build_plan, denoise_loop
+from dualforce_tpu.models import dac_vae, umt5, wan_vae
+from dualforce_tpu.registry import DIFFUSION_PIPELINES
+
+
+def basic_clean(text: str) -> str:
+    try:
+        import ftfy  # optional; not in this image
+
+        text = ftfy.fix_text(text)
+    except ImportError:
+        pass
+    return html.unescape(html.unescape(text)).strip()
+
+
+def prompt_clean(text: str) -> str:
+    return re.sub(r"\s+", " ", basic_clean(text)).strip()
+
+
+@dataclass
+class GenerationResult:
+    video: np.ndarray   # [T, H, W, 3] uint8
+    audio: np.ndarray   # [S] float32 in [-1, 1]
+    sample_rate: int
+    fps: float
+
+
+@DIFFUSION_PIPELINES.register_module(name="MOVAPipeline")
+class MOVAPipeline:
+    """Holds params + configs; drives tokenization, encode, denoise, decode.
+
+    params keys: video_dit, video_dit_2 (optional), audio_dit, bridge,
+    video_vae, audio_vae, text_encoder.
+    """
+
+    def __init__(self, cfg: MOVAConfig, params: Dict[str, Any], tokenizer=None,
+                 compute_dtype=jnp.bfloat16, attn_impl: str = "auto"):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.compute_dtype = compute_dtype
+        self.attn_impl = attn_impl
+        self.scheduler = FlowMatchPairScheduler(cfg.scheduler)
+        self._denoise_cache: Dict[Tuple, Any] = {}
+
+    # --- text ---------------------------------------------------------------
+    def encode_prompt(self, prompts: List[str], max_len: int = 512) -> jnp.ndarray:
+        """UMT5 embed + zero-pad to max_len (pipeline_mova.py:280-319)."""
+        prompts = [prompt_clean(p) for p in prompts]
+        tok = self.tokenizer(
+            prompts, padding="max_length", max_length=max_len, truncation=True,
+            add_special_tokens=True, return_attention_mask=True, return_tensors="np",
+        )
+        ids, mask = tok["input_ids"], tok["attention_mask"]
+        emb = umt5.encode(self.params["text_encoder"], self.cfg.text_encoder,
+                          jnp.asarray(ids), jnp.asarray(mask),
+                          compute_dtype=self.compute_dtype)
+        # zero out positions beyond each prompt's length (reference re-pads
+        # with zeros rather than keeping encoder outputs at pad positions)
+        return emb * jnp.asarray(mask)[:, :, None].astype(emb.dtype)
+
+    # --- latents ------------------------------------------------------------
+    def prepare_latents(
+        self,
+        first_frame: np.ndarray,   # [H, W, 3] float in [-1, 1]
+        height: int, width: int, num_frames: int,
+        key: jax.Array,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (noise latents [1,16,F,h,w], condition [1,20,F,h,w]) in the
+        reference's channel-first layout (pipeline_mova.py:190-259)."""
+        vcfg = self.cfg.video_vae
+        st, ss = vcfg.scale_factor_temporal, vcfg.scale_factor_spatial
+        if height % (ss * 2) or width % (ss * 2):
+            raise ValueError(f"height/width must be divisible by {ss * 2}")
+        if (num_frames - 1) % st:
+            raise ValueError(f"num_frames-1 must be divisible by {st}")
+        F = (num_frames - 1) // st + 1
+        lh, lw = height // ss, width // ss
+
+        latents = jax.random.normal(key, (1, vcfg.z_dim, F, lh, lw), jnp.float32)
+
+        # encode [first_frame, zeros...] deterministically (argmax mode)
+        video_condition = np.zeros((1, num_frames, height, width, 3), np.float32)
+        video_condition[0, 0] = first_frame
+        cond = wan_vae.encode_mode(self.params["video_vae"], vcfg,
+                                   jnp.asarray(video_condition))
+        cond = wan_vae.normalize_latents(cond, vcfg)          # [1,F,lh,lw,16]
+        cond = jnp.transpose(cond, (0, 4, 1, 2, 3)).astype(jnp.float32)
+
+        # 4-channel first-frame mask (pipeline_mova.py:246-257)
+        mask = np.ones((1, 1, num_frames, lh, lw), np.float32)
+        mask[:, :, 1:] = 0.0
+        first = np.repeat(mask[:, :, 0:1], st, axis=2)
+        mask = np.concatenate([first, mask[:, :, 1:]], axis=2)   # [1,1,st+T-1,lh,lw]
+        mask = mask.reshape(1, F, st, lh, lw).transpose(0, 2, 1, 3, 4)  # [1,st,F,lh,lw]
+
+        condition = jnp.concatenate([jnp.asarray(mask), cond], axis=1)  # [1,20,F,lh,lw]
+        return latents, condition
+
+    def prepare_audio_latents(self, num_frames: int, video_fps: float, key) -> jnp.ndarray:
+        acfg = self.cfg.audio_vae
+        num_samples = int(acfg.sample_rate * num_frames / video_fps)
+        latent_t = (num_samples - 1) // acfg.hop_length + 1
+        return jax.random.normal(key, (1, acfg.latent_dim, latent_t), jnp.float32)
+
+    # --- denoise ------------------------------------------------------------
+    def _get_denoise(self, plan: SamplePlan, cfg_scale: float, video_fps: float,
+                     cfg_batch: bool):
+        key = (plan.num_steps, plan.boundary_step, cfg_scale, video_fps, cfg_batch,
+               tuple(np.asarray(plan.sigmas_visual).tolist()),
+               tuple(np.asarray(plan.sigmas_audio).tolist()))
+        if key not in self._denoise_cache:
+            def run(video_hi, video_lo, audio_params, bridge_params,
+                    latents, condition, audio_latents, ctx_pos, ctx_neg):
+                return denoise_loop(
+                    video_hi, video_lo, audio_params, bridge_params,
+                    self.cfg, latents, condition, audio_latents, ctx_pos, ctx_neg,
+                    plan, cfg_scale=cfg_scale, video_fps=video_fps,
+                    cfg_batch=cfg_batch, compute_dtype=self.compute_dtype,
+                    attn_impl=self.attn_impl)
+
+            self._denoise_cache[key] = jax.jit(run)
+        return self._denoise_cache[key]
+
+    # --- full generation ----------------------------------------------------
+    def __call__(
+        self,
+        prompt: str,
+        image: np.ndarray,            # [H, W, 3] in [-1, 1]
+        negative_prompt: str = "",
+        seed: int = 42,
+        height: int = 352,
+        width: int = 640,
+        num_frames: int = 193,
+        video_fps: float = 24.0,
+        num_inference_steps: int = 50,
+        sigma_shift: float = 5.0,
+        visual_shift: Optional[float] = None,
+        audio_shift: Optional[float] = None,
+        cfg_scale: float = 5.0,
+        cfg_batch: bool = False,
+    ) -> GenerationResult:
+        self.scheduler.set_timesteps(num_inference_steps, shift=sigma_shift)
+        if visual_shift is not None or audio_shift is not None:
+            self.scheduler.set_pair_postprocess_by_name(
+                "dual_sigma_shift",
+                visual_shift=visual_shift if visual_shift is not None else sigma_shift,
+                audio_shift=audio_shift if audio_shift is not None else sigma_shift)
+        plan = build_plan(self.scheduler, self.cfg.boundary_ratio)
+
+        key = jax.random.PRNGKey(seed)
+        k_lat, k_aud = jax.random.split(key)
+        latents, condition = self.prepare_latents(image, height, width, num_frames, k_lat)
+        audio_latents = self.prepare_audio_latents(num_frames, video_fps, k_aud)
+
+        ctx_pos = self.encode_prompt([prompt])
+        ctx_neg = self.encode_prompt([negative_prompt]) if cfg_scale != 1.0 else None
+
+        video_hi = self.params["video_dit"]
+        video_lo = self.params.get("video_dit_2")
+        run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch)
+        latents, audio_latents = run(
+            video_hi, video_lo, self.params["audio_dit"], self.params["bridge"],
+            latents, condition, audio_latents, ctx_pos, ctx_neg)
+
+        video, audio = self.decode(latents, audio_latents)
+        return GenerationResult(video=video, audio=audio,
+                                sample_rate=self.cfg.audio_vae.sample_rate,
+                                fps=video_fps)
+
+    def decode(self, latents: jnp.ndarray, audio_latents: jnp.ndarray):
+        """latents [1,16,F,h,w] -> uint8 video; audio latents -> waveform."""
+        vcfg = self.cfg.video_vae
+        z = jnp.transpose(latents, (0, 2, 3, 4, 1))        # channels-last
+        z = wan_vae.denormalize_latents(z, vcfg)
+        video = wan_vae.decode(
+            jax.tree.map(lambda x: x.astype(self.compute_dtype), self.params["video_vae"])
+            if self.compute_dtype != jnp.float32 else self.params["video_vae"],
+            vcfg, z.astype(self.compute_dtype))            # bf16 decode (reference parity)
+        video = np.asarray(video[0].astype(jnp.float32))   # [T, H, W, 3] in [-1, 1]
+        video = ((np.clip(video, -1, 1) + 1) * 127.5).round().astype(np.uint8)
+
+        audio = dac_vae.decode(self.params["audio_vae"], self.cfg.audio_vae,
+                               audio_latents)              # fp32 decode
+        audio = np.asarray(audio[0, 0])
+        return video, audio

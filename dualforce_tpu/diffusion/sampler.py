@@ -1,0 +1,154 @@
+"""Jit-compiled flow-matching denoise loop for the dual-tower model.
+
+Behavioural reference: MOVA.__call__'s diffusion loop
+(pipeline_mova.py:400-482): paired (visual, audio) timesteps, two-stage
+high/low-noise expert switch at boundary_ratio*num_train_timesteps, text CFG
+via a negative-prompt pass, per-modality `step_from_to` Euler updates on
+independent sigma columns.
+
+TPU-first differences:
+  - the sigma schedule is static per generation config, so the boundary is a
+    STATIC step index: the loop compiles as two `lax.fori_loop`s (one per
+    expert) with no data-dependent branching on params;
+  - per-step sigma deltas are gathered from precomputed tables (no host sync,
+    no nearest-timestep search at runtime);
+  - CFG runs either as a second pass (memory-lean, reference behavior) or
+    batched along the batch axis in a single pass (`cfg_batch=True`, better
+    MXU utilization — the reference's unimplemented `cfg_merge`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dualforce_tpu.config import MOVAConfig
+from dualforce_tpu.diffusion.flow_match import FlowMatchPairScheduler
+from dualforce_tpu.diffusion.step import dual_tower_step
+
+
+@dataclass(frozen=True)
+class SamplePlan:
+    """Static per-generation tables (host-side numpy)."""
+
+    pair_timesteps: np.ndarray   # [N, 2] (visual, audio) timesteps
+    sigmas_visual: np.ndarray    # [N+1] incl. terminal sigma
+    sigmas_audio: np.ndarray     # [N+1]
+    boundary_step: int           # first step index where visual t < boundary
+
+    @property
+    def num_steps(self) -> int:
+        return self.pair_timesteps.shape[0]
+
+
+def build_plan(
+    scheduler: FlowMatchPairScheduler,
+    boundary_ratio: float,
+) -> SamplePlan:
+    """Derive the static sampling plan from a configured scheduler."""
+    pairs = scheduler.get_pairs("timesteps")
+    sig_v, sig_a = scheduler.pair_sigma_columns()
+    boundary = boundary_ratio * scheduler.num_train_timesteps
+    below = np.nonzero(pairs[:, 0] < boundary)[0]
+    boundary_step = int(below[0]) if len(below) else pairs.shape[0]
+    return SamplePlan(
+        pair_timesteps=pairs.astype(np.float32),
+        sigmas_visual=sig_v, sigmas_audio=sig_a,
+        boundary_step=boundary_step,
+    )
+
+
+def denoise_loop(
+    video_params_high,
+    video_params_low,      # may be None (single-tower model)
+    audio_params,
+    bridge_params,
+    cfg: MOVAConfig,
+    latents: jnp.ndarray,        # [B, 16, F, H, W] fp32
+    condition: jnp.ndarray,      # [B, 20, F, H, W] (4 mask + 16 cond latents)
+    audio_latents: jnp.ndarray,  # [B, 128, T] fp32
+    ctx_pos: jnp.ndarray,        # [B, 512, text_dim]
+    ctx_neg: Optional[jnp.ndarray],
+    plan: SamplePlan,
+    cfg_scale: float = 5.0,
+    video_fps: float = 24.0,
+    cfg_batch: bool = False,
+    compute_dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    pair_t = jnp.asarray(plan.pair_timesteps)     # [N, 2]
+    sig_v = jnp.asarray(plan.sigmas_visual)       # [N+1]
+    sig_a = jnp.asarray(plan.sigmas_audio)
+    use_cfg = (cfg_scale != 1.0) and (ctx_neg is not None)
+    b = latents.shape[0]
+
+    if use_cfg and cfg_batch:
+        ctx_both = jnp.concatenate([ctx_pos, ctx_neg], axis=0)
+
+    def predict(video_params, lat, alat, t, at):
+        model_in = jnp.concatenate([lat, condition], axis=1)
+
+        def run(ctx, mi, al, tt, att):
+            return dual_tower_step(
+                video_params, audio_params, bridge_params,
+                cfg.video_dit, cfg.audio_dit, cfg.bridge,
+                mi, al, ctx, tt, att,
+                video_fps=video_fps, compute_dtype=compute_dtype,
+                attn_impl=attn_impl)
+
+        if not use_cfg:
+            v, a = run(ctx_pos, model_in, alat, t, at)
+            return v.astype(jnp.float32), a.astype(jnp.float32)
+        if cfg_batch:
+            mi2 = jnp.concatenate([model_in, model_in], axis=0)
+            al2 = jnp.concatenate([alat, alat], axis=0)
+            v, a = run(ctx_both, mi2, al2, jnp.tile(t, 2), jnp.tile(at, 2))
+            v_pos, v_neg = v[:b].astype(jnp.float32), v[b:].astype(jnp.float32)
+            a_pos, a_neg = a[:b].astype(jnp.float32), a[b:].astype(jnp.float32)
+        else:
+            v_pos, a_pos = run(ctx_pos, model_in, alat, t, at)
+            v_neg, a_neg = run(ctx_neg, model_in, alat, t, at)
+            v_pos, a_pos = v_pos.astype(jnp.float32), a_pos.astype(jnp.float32)
+            v_neg, a_neg = v_neg.astype(jnp.float32), a_neg.astype(jnp.float32)
+        return (v_neg + cfg_scale * (v_pos - v_neg),
+                a_neg + cfg_scale * (a_pos - a_neg))
+
+    def make_body(video_params):
+        def body(i, carry):
+            lat, alat = carry
+            t = jnp.full((b,), pair_t[i, 0], jnp.float32)
+            at = jnp.full((b,), pair_t[i, 1], jnp.float32)
+            v_pred, a_pred = predict(video_params, lat, alat, t, at)
+            lat = lat + v_pred * (sig_v[i + 1] - sig_v[i])
+            alat = alat + a_pred * (sig_a[i + 1] - sig_a[i])
+            return lat, alat
+
+        return body
+
+    n = plan.num_steps
+    split = plan.boundary_step if video_params_low is not None else n
+    carry = (latents, audio_latents)
+    if split > 0:
+        carry = jax.lax.fori_loop(0, split, make_body(video_params_high), carry)
+    if split < n:
+        carry = jax.lax.fori_loop(split, n, make_body(video_params_low), carry)
+    return carry
+
+
+def jit_denoise(cfg: MOVAConfig, plan: SamplePlan, **static_kwargs):
+    """Return a jitted denoise function with static config/plan baked in."""
+    fn = partial(denoise_loop, cfg=cfg, plan=plan, **static_kwargs)
+
+    @partial(jax.jit, donate_argnums=(4, 6))
+    def run(video_hi, video_lo, audio_params, bridge_params,
+            latents, condition, audio_latents, ctx_pos, ctx_neg):
+        return fn(video_hi, video_lo, audio_params, bridge_params,
+                  latents=latents, condition=condition,
+                  audio_latents=audio_latents, ctx_pos=ctx_pos, ctx_neg=ctx_neg)
+
+    return run

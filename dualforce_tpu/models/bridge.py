@@ -1,0 +1,96 @@
+"""Dual-tower conditional bridge (behavioural reference:
+mova/diffusion/models/interactionv2.py:210-593).
+
+Per shared layer, two asymmetric cross-attentions:
+  a2v: q = video hidden (dim V), kv = audio hidden (dim A)
+  v2a: q = audio hidden (dim A), kv = video hidden (dim V)
+each preceded by a LayerNorm on the conditioning sequence, with RMS-normed
+q/k, optional time-aligned rotate-half RoPE (ops/rope.build_aligned_cross_rope)
+and a residual add scaled by condition_scale.
+
+Params for the interacting layers are STACKED so the dual-tower driver can
+scan them together with the tower blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dualforce_tpu import nn
+from dualforce_tpu.config import BridgeConfig
+from dualforce_tpu.models.video_dit import attn_qkv_init
+from dualforce_tpu.ops import attention, apply_rope_half
+from dualforce_tpu.registry import MODELS
+
+
+def cond_block_init(key, dim: int, kv_dim: int, dtype=jnp.float32):
+    """ConditionalCrossAttentionBlock params (interactionv2.py:315-327)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "y_norm": nn.layer_norm_init(kv_dim, dtype),
+        "inner": attn_qkv_init(k2, dim, kv_dim, dtype),
+    }
+
+
+def cond_block_apply(p, x, y, x_freqs, y_freqs, *, num_heads: int, eps: float,
+                     attn_impl: str = "auto"):
+    """LayerNorm(y) -> cross-attn with per-side rotate-half RoPE
+    (interactionv2.py:227-251, 329-350)."""
+    b, sx, dim = x.shape
+    sy = y.shape[1]
+    d = dim // num_heads
+    y = nn.layer_norm(y, eps, p["y_norm"])
+    inner = p["inner"]
+    q = nn.rms_norm(nn.linear(inner["q"], x), inner["norm_q"], eps).reshape(b, sx, num_heads, d)
+    k = nn.rms_norm(nn.linear(inner["k"], y), inner["norm_k"], eps).reshape(b, sy, num_heads, d)
+    v = nn.linear(inner["v"], y).reshape(b, sy, num_heads, d)
+    if x_freqs is not None:
+        q = apply_rope_half(q, *x_freqs)
+    if y_freqs is not None:
+        k = apply_rope_half(k, *y_freqs)
+    out = attention(q, k, v, impl=attn_impl).reshape(b, sx, dim)
+    return nn.linear(inner["o"], out)
+
+
+@MODELS.register_module(name="DualTowerBridge")
+def init(key, cfg: BridgeConfig, dtype=jnp.float32):
+    layers = cfg.interaction_layers()
+    ka, kv = jax.random.split(key)
+    a2v = [cond_block_init(k, cfg.visual_hidden_dim, cfg.audio_hidden_dim, dtype)
+           for k in jax.random.split(ka, len(layers))]
+    v2a = [cond_block_init(k, cfg.audio_hidden_dim, cfg.visual_hidden_dim, dtype)
+           for k in jax.random.split(kv, len(layers))]
+    params = {"a2v": nn.stack_params(a2v) if a2v else {},
+              "v2a": nn.stack_params(v2a) if v2a else {}}
+    if cfg.trainable_condition_scale:
+        params["condition_scale"] = jnp.ones((1,), jnp.float32)
+    return params
+
+
+def layer_apply(a2v_p, v2a_p, visual_x, audio_x, visual_freqs, audio_freqs,
+                cfg: BridgeConfig, a2v_scale=1.0, v2a_scale=1.0,
+                attn_impl: str = "auto"):
+    """One bridge interaction: BOTH directions read the pre-interaction hidden
+    states (interactionv2.py:539-593). Per-direction condition scales override
+    the global one upstream (resolve in the caller)."""
+    v_heads = cfg.visual_hidden_dim // cfg.head_dim
+    a_heads = cfg.audio_hidden_dim // cfg.head_dim
+    dv = cond_block_apply(a2v_p, visual_x, audio_x, visual_freqs, audio_freqs,
+                          num_heads=v_heads, eps=cfg.eps, attn_impl=attn_impl)
+    da = cond_block_apply(v2a_p, audio_x, visual_x, audio_freqs, visual_freqs,
+                          num_heads=a_heads, eps=cfg.eps, attn_impl=attn_impl)
+    return (visual_x + dv * jnp.asarray(a2v_scale, visual_x.dtype),
+            audio_x + da * jnp.asarray(v2a_scale, audio_x.dtype))
+
+
+def resolve_condition_scale(params, cfg: BridgeConfig,
+                            external_scale: Optional[float]) -> jnp.ndarray:
+    """External scale wins over the trainable one (interactionv2.py:526-535)."""
+    if external_scale is not None:
+        return jnp.asarray(external_scale, jnp.float32)
+    if cfg.trainable_condition_scale:
+        return params["condition_scale"][0]
+    return jnp.asarray(1.0, jnp.float32)

@@ -1,0 +1,232 @@
+"""DAC audio VAE — continuous (KL) variant, JAX implementation.
+
+Behavioural reference: mova/diffusion/models/dac_vae.py:590-1000 (DAC with
+continuous=True, the shipped MOVA config: encoder_dim 128, rates (2,3,4,5,8),
+decoder_dim 2048, rates (8,5,4,3,2), latent 128, 48 kHz, hop 960).
+
+Weight norm is folded at conversion time (w = g * v / ||v||), equivalent to
+the reference's `remove_weight_norm` fusion (dac_vae.py:1040-1066) — the JAX
+model only ever sees plain conv kernels.
+
+Layout: waveforms [B, S] (mono), latents [B, T, D] channels-last internally;
+public helpers accept/return the reference's [B, C, T] at the pipeline
+boundary.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dualforce_tpu.config import DACVAEConfig
+from dualforce_tpu.registry import MODELS
+
+
+# ---------------------------------------------------------------------------
+# primitives ([B, T, C] layout; kernels [k, in, out])
+# ---------------------------------------------------------------------------
+
+def conv1d(p, x, stride: int = 1, padding: int = 0, dilation: int = 1):
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"], window_strides=(stride,), padding=((padding, padding),),
+        rhs_dilation=(dilation,), dimension_numbers=("NTC", "TIO", "NTC"),
+    )
+    return y + p["bias"]
+
+
+def conv_transpose1d(p, x, stride: int, padding: int, output_padding: int):
+    """torch ConvTranspose1d semantics via lhs-dilated conv.
+
+    p['kernel'] is stored PRE-FLIPPED as [k, in, out] (converter handles the
+    torch [in, out, k] -> flip -> transpose).
+    out_len = (T-1)*stride + k - 2*padding + output_padding.
+    """
+    k = p["kernel"].shape[0]
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"], window_strides=(1,),
+        padding=((k - 1 - padding, k - 1 - padding + output_padding),),
+        lhs_dilation=(stride,), dimension_numbers=("NTC", "TIO", "NTC"),
+    )
+    return y + p["bias"]
+
+
+def snake(p, x):
+    """snake(x) = x + (alpha + 1e-9)^-1 * sin(alpha*x)^2 (dac_vae.py:323-339)."""
+    alpha = p["alpha"].astype(jnp.float32)  # [C]
+    xf = x.astype(jnp.float32)
+    y = xf + jnp.square(jnp.sin(alpha * xf)) / (alpha + 1e-9)
+    return y.astype(x.dtype)
+
+
+def _conv_init(key, k, cin, cout, dtype=jnp.float32):
+    k1, _ = jax.random.split(key)
+    w = jax.random.truncated_normal(k1, -2, 2, (k, cin, cout), jnp.float32) * 0.02
+    return {"kernel": w.astype(dtype), "bias": jnp.zeros((cout,), dtype)}
+
+
+def _snake_init(c, dtype=jnp.float32):
+    return {"alpha": jnp.ones((c,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+def residual_unit_init(key, dim, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "snake1": _snake_init(dim, dtype),
+        "conv1": _conv_init(k1, 7, dim, dim, dtype),
+        "snake2": _snake_init(dim, dtype),
+        "conv2": _conv_init(k2, 1, dim, dim, dtype),
+    }
+
+
+def residual_unit(p, x, dilation: int):
+    pad = ((7 - 1) * dilation) // 2
+    y = conv1d(p["conv1"], snake(p["snake1"], x), padding=pad, dilation=dilation)
+    y = conv1d(p["conv2"], snake(p["snake2"], y))
+    trim = (x.shape[1] - y.shape[1]) // 2
+    if trim > 0:
+        x = x[:, trim:-trim]
+    return x + y
+
+
+def encoder_block_init(key, dim, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    return {
+        "ru1": residual_unit_init(ks[0], dim // 2, dtype),
+        "ru2": residual_unit_init(ks[1], dim // 2, dtype),
+        "ru3": residual_unit_init(ks[2], dim // 2, dtype),
+        "snake": _snake_init(dim // 2, dtype),
+        "down": None,  # filled by caller (needs stride)
+    }
+
+
+def encoder_init(key, cfg: DACVAEConfig, dtype=jnp.float32):
+    ks = iter(jax.random.split(key, 32))
+    d = cfg.encoder_dim
+    p = {"conv_in": _conv_init(next(ks), 7, 1, d, dtype)}
+    blocks = []
+    for stride in cfg.encoder_rates:
+        d *= 2
+        b = encoder_block_init(next(ks), d, dtype)
+        b["down"] = _conv_init(next(ks), 2 * stride, d // 2, d, dtype)
+        blocks.append(b)
+    p["blocks"] = blocks
+    p["snake_out"] = _snake_init(d, dtype)
+    p["conv_out"] = _conv_init(next(ks), 3, d, cfg.latent_dim, dtype)
+    return p
+
+
+def encoder_apply(p, cfg: DACVAEConfig, x):
+    """x: [B, S, 1] -> [B, T, latent]."""
+    h = conv1d(p["conv_in"], x, padding=3)
+    for b, stride in zip(p["blocks"], cfg.encoder_rates):
+        h = residual_unit(b["ru1"], h, 1)
+        h = residual_unit(b["ru2"], h, 3)
+        h = residual_unit(b["ru3"], h, 9)
+        h = snake(b["snake"], h)
+        h = conv1d(b["down"], h, stride=stride, padding=math.ceil(stride / 2))
+    h = snake(p["snake_out"], h)
+    return conv1d(p["conv_out"], h, padding=1)
+
+
+def decoder_block_init(key, cin, cout, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    return {
+        "snake": _snake_init(cin, dtype),
+        "up": _conv_init(ks[0], 0, 0, 0, dtype),  # placeholder; caller sets shape
+        "ru1": residual_unit_init(ks[1], cout, dtype),
+        "ru2": residual_unit_init(ks[2], cout, dtype),
+        "ru3": residual_unit_init(ks[3], cout, dtype),
+    }
+
+
+def decoder_init(key, cfg: DACVAEConfig, dtype=jnp.float32):
+    ks = iter(jax.random.split(key, 32))
+    ch = cfg.decoder_dim
+    p = {"conv_in": _conv_init(next(ks), 7, cfg.latent_dim, ch, dtype)}
+    blocks = []
+    for i, stride in enumerate(cfg.decoder_rates):
+        cin, cout = ch // (2 ** i), ch // (2 ** (i + 1))
+        b = decoder_block_init(next(ks), cin, cout, dtype)
+        b["up"] = _conv_init(next(ks), 2 * stride, cin, cout, dtype)
+        blocks.append(b)
+    p["blocks"] = blocks
+    cout = ch // (2 ** len(cfg.decoder_rates))
+    p["snake_out"] = _snake_init(cout, dtype)
+    p["conv_out"] = _conv_init(next(ks), 7, cout, 1, dtype)
+    return p
+
+
+def decoder_apply(p, cfg: DACVAEConfig, z):
+    """z: [B, T, latent] -> waveform [B, S, 1] in [-1, 1]."""
+    h = conv1d(p["conv_in"], z, padding=3)
+    for b, stride in zip(p["blocks"], cfg.decoder_rates):
+        h = snake(b["snake"], h)
+        h = conv_transpose1d(b["up"], h, stride=stride,
+                             padding=math.ceil(stride / 2),
+                             output_padding=stride % 2)
+        h = residual_unit(b["ru1"], h, 1)
+        h = residual_unit(b["ru2"], h, 3)
+        h = residual_unit(b["ru3"], h, 9)
+    h = snake(p["snake_out"], h)
+    return jnp.tanh(conv1d(p["conv_out"], h, padding=3))
+
+
+# ---------------------------------------------------------------------------
+# full VAE (continuous mode)
+# ---------------------------------------------------------------------------
+
+@MODELS.register_module(name="DACVAE")
+def init(key, cfg: DACVAEConfig, dtype=jnp.float32):
+    if not cfg.continuous:
+        raise NotImplementedError("RVQ (discrete) DAC mode: MOVA ships continuous")
+    ks = jax.random.split(key, 4)
+    return {
+        "encoder": encoder_init(ks[0], cfg, dtype),
+        "decoder": decoder_init(ks[1], cfg, dtype),
+        "quant_conv": _conv_init(ks[2], 1, cfg.latent_dim, 2 * cfg.latent_dim, dtype),
+        "post_quant_conv": _conv_init(ks[3], 1, cfg.latent_dim, cfg.latent_dim, dtype),
+    }
+
+
+def preprocess(audio: jnp.ndarray, hop_length: int) -> jnp.ndarray:
+    """Right-pad to a hop multiple (dac_vae.py preprocess)."""
+    s = audio.shape[-1]
+    pad = -s % hop_length
+    if pad:
+        audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, pad)])
+    return audio
+
+
+def encode_moments(params, cfg: DACVAEConfig, audio):
+    """audio: [B, 1, S] (reference layout) -> (mean, logvar) each [B, D, T]."""
+    x = preprocess(audio, cfg.hop_length).transpose(0, 2, 1)  # [B, S, 1]
+    z = encoder_apply(params["encoder"], cfg, x)
+    moments = conv1d(params["quant_conv"], z)  # [B, T, 2D]
+    mean, logvar = jnp.split(moments, 2, axis=-1)
+    return mean.transpose(0, 2, 1), jnp.clip(logvar, -30.0, 20.0).transpose(0, 2, 1)
+
+
+def encode_mode(params, cfg: DACVAEConfig, audio):
+    mean, _ = encode_moments(params, cfg, audio)
+    return mean
+
+
+def encode_sample(params, cfg: DACVAEConfig, audio, key):
+    mean, logvar = encode_moments(params, cfg, audio)
+    return mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape, mean.dtype)
+
+
+def decode(params, cfg: DACVAEConfig, z):
+    """z: [B, D, T] (reference layout) -> audio [B, 1, S]. Runs in fp32
+    (pipeline_mova.py:491-493 decodes audio under fp32 autocast)."""
+    zf = z.astype(jnp.float32).transpose(0, 2, 1)
+    h = conv1d(params["post_quant_conv"], zf)
+    wav = decoder_apply(params["decoder"], cfg, h)
+    return wav.transpose(0, 2, 1)

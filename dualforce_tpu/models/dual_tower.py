@@ -1,0 +1,119 @@
+"""Interleaved dual-tower forward — the hottest loop of the framework.
+
+Behavioural reference: MOVA.forward_dual_tower_dit + inference_single_step
+(mova/diffusion/pipelines/pipeline_mova.py:500-711). Per shared layer:
+bridge (a2v + v2a cross-attn) -> video DiT block -> audio DiT block; then the
+remaining video-only blocks.
+
+TPU-first design: when every shared layer interacts (the shipped "full"
+strategy), the whole interleave is ONE `lax.scan` over stacked
+(bridge_a2v, bridge_v2a, video_block, audio_block) params, followed by a
+second scan over the video-only tail — two compiled loop bodies total,
+remat-compatible for training.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dualforce_tpu import nn
+from dualforce_tpu.config import AudioDiTConfig, BridgeConfig, VideoDiTConfig
+from dualforce_tpu.models import bridge as bridge_mod
+from dualforce_tpu.models.video_dit import dit_block_apply
+
+
+def forward_dual_tower(
+    video_blocks,          # stacked video DiT block params [Lv, ...]
+    audio_blocks,          # stacked audio DiT block params [La, ...]
+    bridge_params,         # {'a2v': [I, ...], 'v2a': [I, ...], opt condition_scale}
+    vcfg: VideoDiTConfig,
+    acfg: AudioDiTConfig,
+    bcfg: BridgeConfig,
+    visual_x: jnp.ndarray,     # [B, Lv_tok, V]
+    audio_x: jnp.ndarray,      # [B, La_tok, A]
+    visual_ctx: jnp.ndarray,
+    audio_ctx: jnp.ndarray,
+    visual_t_mod: jnp.ndarray,
+    audio_t_mod: jnp.ndarray,
+    visual_rope: Tuple[jnp.ndarray, jnp.ndarray],
+    audio_rope: Tuple[jnp.ndarray, jnp.ndarray],
+    cross_rope=None,           # ((cos_v, sin_v), (cos_a, sin_a)) or None
+    condition_scale: Optional[float] = 1.0,
+    a2v_condition_scale: Optional[float] = None,
+    v2a_condition_scale: Optional[float] = None,
+    attn_impl: str = "auto",
+    remat: bool = False,
+    ctx_valid_len=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    min_layers = bcfg.min_layers
+    interact = bcfg.interaction_layers()
+    vis_freqs = cross_rope[0] if cross_rope is not None else None
+    aud_freqs = cross_rope[1] if cross_rope is not None else None
+
+    a2v_scale = bridge_mod.resolve_condition_scale(
+        bridge_params, bcfg,
+        a2v_condition_scale if a2v_condition_scale is not None else condition_scale)
+    v2a_scale = bridge_mod.resolve_condition_scale(
+        bridge_params, bcfg,
+        v2a_condition_scale if v2a_condition_scale is not None else condition_scale)
+
+    vblock = functools.partial(dit_block_apply, num_heads=vcfg.num_heads, eps=vcfg.eps,
+                               attn_impl=attn_impl, ctx_valid_len=ctx_valid_len)
+    ablock = functools.partial(dit_block_apply, num_heads=acfg.num_heads, eps=acfg.eps,
+                               attn_impl=attn_impl, ctx_valid_len=ctx_valid_len)
+
+    def shared_layer(vx, ax, a2v_p, v2a_p, vb_p, ab_p, do_interact: bool):
+        if do_interact:
+            vx, ax = bridge_mod.layer_apply(
+                a2v_p, v2a_p, vx, ax, vis_freqs, aud_freqs, bcfg,
+                a2v_scale, v2a_scale, attn_impl)
+        vx = vblock(vb_p, vx, visual_ctx, visual_t_mod, visual_rope)
+        ax = ablock(ab_p, ax, audio_ctx, audio_t_mod, audio_rope)
+        return vx, ax
+
+    if interact == list(range(min_layers)):
+        # Fast path: single fused scan over the shared depth.
+        def step(carry, layer_p):
+            vx, ax = carry
+            a2v_p, v2a_p, vb_p, ab_p = layer_p
+            out = shared_layer(vx, ax, a2v_p, v2a_p, vb_p, ab_p, True)
+            return out, None
+
+        body = jax.checkpoint(step) if remat else step
+        xs = (
+            bridge_params["a2v"],
+            bridge_params["v2a"],
+            jax.tree.map(lambda a: a[:min_layers], video_blocks),
+            jax.tree.map(lambda a: a[:min_layers], audio_blocks),
+        )
+        (visual_x, audio_x), _ = jax.lax.scan(body, (visual_x, audio_x), xs)
+    else:
+        # General path: unrolled python loop with sparse bridge lookups
+        # (non-"full" strategies are small research configs).
+        bridge_idx = {layer: i for i, layer in enumerate(interact)}
+        for layer in range(min_layers):
+            i = bridge_idx.get(layer)
+            visual_x, audio_x = shared_layer(
+                visual_x, audio_x,
+                nn.index_params(bridge_params["a2v"], i) if i is not None else None,
+                nn.index_params(bridge_params["v2a"], i) if i is not None else None,
+                nn.index_params(video_blocks, layer),
+                nn.index_params(audio_blocks, layer),
+                i is not None,
+            )
+
+    # video-only tail (pipeline_mova.py:698-702)
+    num_video_layers = jax.tree.leaves(video_blocks)[0].shape[0]
+    if num_video_layers > min_layers:
+        def vstep(vx, vb_p):
+            return vblock(vb_p, vx, visual_ctx, visual_t_mod, visual_rope), None
+
+        vbody = jax.checkpoint(vstep) if remat else vstep
+        tail = jax.tree.map(lambda a: a[min_layers:], video_blocks)
+        visual_x, _ = jax.lax.scan(vbody, visual_x, tail)
+
+    return visual_x, audio_x

@@ -1,0 +1,355 @@
+"""Wan 3D-causal video VAE (z=16, spatial /8, temporal /4) in JAX.
+
+Behavioural reference: the diffusers `AutoencoderKLWan` used by the pipeline
+(pipeline_mova.py:15,68; config fields in SURVEY.md — base_dim 96,
+dim_mult (1,2,4,4), num_res_blocks 2, temperal_downsample (F,T,T)).
+
+The reference ALWAYS runs with a streaming feature cache (chunked over time,
+first frame handled specially). This implementation reproduces those cached
+semantics in closed form over the full sequence:
+
+  - causal time convs: zero-pad 2 frames at the front (k=3);
+  - temporal downsample (stride-2 k=3 time conv, no padding): output frame 0
+    is a passthrough of input frame 0; remaining outputs are conv windows
+    starting at input frame 0 — matching the cache recursion where the first
+    1-frame chunk bypasses the conv;
+  - temporal upsample (k=3 causal time conv to 2C, interleave): input frame 0
+    bypasses (1 output frame); frames 1.. are conv'ed with ZERO history (the
+    'Rep' cache state) and each yields 2 output frames.
+
+Frame counts: encode T -> (T-1)/4 + 1; decode F -> (F-1)*4 + 1.
+
+Layout: [B, T, H, W, C] (channels-last, TPU-native). Weights convert from
+torch [out, in, kt, kh, kw] -> [kt, kh, kw, in, out].
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dualforce_tpu.config import WanVAEConfig
+from dualforce_tpu.registry import MODELS
+
+CACHE_T = 2
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def _conv3d(x, w, b, stride=(1, 1, 1)):
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=stride, padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return y + b
+
+
+def causal_conv3d(p, x, stride=(1, 1, 1)):
+    """CausalConv3d: zero-pad (kt-1) front in time, symmetric in space."""
+    w = p["kernel"]
+    kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
+    x = jnp.pad(x, ((0, 0), (kt - 1, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)))
+    return _conv3d(x, w, p["bias"], stride)
+
+
+def conv3d_init(key, in_dim, out_dim, kernel: Tuple[int, int, int], dtype=jnp.float32):
+    kt, kh, kw = kernel
+    fan_in = in_dim * kt * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    k1, k2 = jax.random.split(key)
+    return {
+        "kernel": jax.random.uniform(k1, (kt, kh, kw, in_dim, out_dim),
+                                     minval=-bound, maxval=bound, dtype=jnp.float32).astype(dtype),
+        "bias": jax.random.uniform(k2, (out_dim,), minval=-bound, maxval=bound,
+                                   dtype=jnp.float32).astype(dtype),
+    }
+
+
+def rms_norm_ch(p, x, eps: float = 1e-12):
+    """Wan RMS_norm: F.normalize over channels * sqrt(dim) * gamma (+bias)."""
+    xf = x.astype(jnp.float32)
+    n = xf * jax.lax.rsqrt(jnp.sum(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    y = n * math.sqrt(x.shape[-1]) * p["gamma"].astype(jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rms_norm_ch_init(dim, dtype=jnp.float32, bias: bool = False):
+    p = {"gamma": jnp.ones((dim,), dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((dim,), dtype)
+    return p
+
+
+def residual_block_init(key, in_dim, out_dim, dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    p = {
+        "norm1": rms_norm_ch_init(in_dim, dtype),
+        "conv1": conv3d_init(ks[0], in_dim, out_dim, (3, 3, 3), dtype),
+        "norm2": rms_norm_ch_init(out_dim, dtype),
+        "conv2": conv3d_init(ks[1], out_dim, out_dim, (3, 3, 3), dtype),
+    }
+    if in_dim != out_dim:
+        p["shortcut"] = conv3d_init(ks[2], in_dim, out_dim, (1, 1, 1), dtype)
+    return p
+
+
+def residual_block(p, x):
+    h = causal_conv3d(p["conv1"], jax.nn.silu(rms_norm_ch(p["norm1"], x)))
+    h = causal_conv3d(p["conv2"], jax.nn.silu(rms_norm_ch(p["norm2"], h)))
+    sc = causal_conv3d(p["shortcut"], x) if "shortcut" in p else x
+    return sc + h
+
+
+def attention_block_init(key, dim, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm": rms_norm_ch_init(dim, dtype),
+        "to_qkv": conv3d_init(k1, dim, dim * 3, (1, 1, 1), dtype),
+        "proj": conv3d_init(k2, dim, dim, (1, 1, 1), dtype),
+    }
+
+
+def attention_block(p, x):
+    """Single-head per-frame spatial self-attention (Wan AttentionBlock)."""
+    b, t, h, w, c = x.shape
+    identity = x
+    xn = rms_norm_ch(p["norm"], x)
+    qkv = causal_conv3d(p["to_qkv"], xn)  # 1x1x1 conv
+    q, k, v = jnp.split(qkv.reshape(b * t, h * w, 3 * c), 3, axis=-1)
+    logits = jnp.einsum("bqc,bkc->bqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * (c ** -0.5)
+    probs = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bqk,bkc->bqc", probs, v.astype(jnp.float32)).astype(x.dtype)
+    o = o.reshape(b, t, h, w, c)
+    return identity + causal_conv3d(p["proj"], o)
+
+
+# --- resampling -------------------------------------------------------------
+
+def downsample2d_init(key, dim, dtype=jnp.float32):
+    return {"conv": conv3d_init(key, dim, dim, (1, 3, 3), dtype)}
+
+
+def downsample_spatial(p, x):
+    """ZeroPad2d((0,1,0,1)) + Conv2d k3 s2 per frame."""
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+    return _conv3d(x, p["conv"]["kernel"], p["conv"]["bias"], (1, 2, 2))
+
+
+def downsample3d_init(key, dim, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv": conv3d_init(k1, dim, dim, (1, 3, 3), dtype),
+        "time_conv": conv3d_init(k2, dim, dim, (3, 1, 1), dtype),
+    }
+
+
+def downsample_temporal(p, x):
+    """Cached-equivalent stride-2 time conv: frame 0 passthrough + windows
+    starting at frame 0 (see module docstring)."""
+    first = x[:, :1]
+    y = _conv3d(x, p["time_conv"]["kernel"], p["time_conv"]["bias"], (2, 1, 1))
+    return jnp.concatenate([first, y], axis=1)
+
+
+def upsample2d_init(key, dim, out_dim, dtype=jnp.float32):
+    return {"conv": conv3d_init(key, dim, out_dim, (1, 3, 3), dtype)}
+
+
+def upsample_spatial(p, x):
+    """nearest 2x + Conv2d k3 (dim -> dim//2 in the decoder)."""
+    b, t, h, w, c = x.shape
+    x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+    x = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    return _conv3d(x, p["conv"]["kernel"], p["conv"]["bias"])
+
+
+def upsample3d_init(key, dim, out_dim, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv": conv3d_init(k1, dim, out_dim, (1, 3, 3), dtype),
+        "time_conv": conv3d_init(k2, dim, dim * 2, (3, 1, 1), dtype),
+    }
+
+
+def upsample_temporal(p, x):
+    """Cached-equivalent temporal doubling: frame 0 bypasses; frames 1..T-1
+    run the 2C time conv with ZERO history ('Rep' semantics) and interleave."""
+    b, t, h, w, c = x.shape
+    first = x[:, :1]
+    if t == 1:
+        return first
+    rest = x[:, 1:]
+    # causal zero-pad 2 on the REST ONLY (frame 0 never feeds the conv)
+    rest_p = jnp.pad(rest, ((0, 0), (2, 0), (0, 0), (0, 0), (0, 0)))
+    y = _conv3d(rest_p, p["time_conv"]["kernel"], p["time_conv"]["bias"])  # [B,T-1,H,W,2C]
+    y = y.reshape(b, t - 1, h, w, 2, c).transpose(0, 1, 4, 2, 3, 5).reshape(
+        b, 2 * (t - 1), h, w, c)
+    return jnp.concatenate([first, y], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# encoder / decoder
+# ---------------------------------------------------------------------------
+
+def encoder_init(key, cfg: WanVAEConfig, dtype=jnp.float32):
+    dims = [cfg.base_dim * u for u in (1,) + tuple(cfg.dim_mult)]
+    ks = iter(jax.random.split(key, 64))
+    p = {"conv1": conv3d_init(next(ks), 3, dims[0], (3, 3, 3), dtype)}
+    stages = []
+    for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+        blocks = []
+        d = din
+        for _ in range(cfg.num_res_blocks):
+            blocks.append(residual_block_init(next(ks), d, dout, dtype))
+            d = dout
+        stage = {"blocks": blocks}
+        if i != len(cfg.dim_mult) - 1:
+            if cfg.temperal_downsample[i]:
+                stage["down"] = downsample3d_init(next(ks), dout, dtype)
+                stage["down_mode"] = "3d"
+            else:
+                stage["down"] = downsample2d_init(next(ks), dout, dtype)
+                stage["down_mode"] = "2d"
+        stages.append(stage)
+    p["stages"] = stages
+    out = dims[-1]
+    p["mid"] = {
+        "rb1": residual_block_init(next(ks), out, out, dtype),
+        "attn": attention_block_init(next(ks), out, dtype),
+        "rb2": residual_block_init(next(ks), out, out, dtype),
+    }
+    p["head_norm"] = rms_norm_ch_init(out, dtype)
+    p["head_conv"] = conv3d_init(next(ks), out, cfg.z_dim * 2, (3, 3, 3), dtype)
+    return p
+
+
+def encoder_apply(p, cfg: WanVAEConfig, x):
+    """x: [B, T, H, W, 3] -> moments [B, F, H/8, W/8, 2*z]."""
+    h = causal_conv3d(p["conv1"], x)
+    for stage in p["stages"]:
+        for bp in stage["blocks"]:
+            h = residual_block(bp, h)
+        if "down" in stage:
+            h = downsample_spatial(stage["down"], h)
+            if stage["down_mode"] == "3d":
+                h = downsample_temporal(stage["down"], h)
+    h = residual_block(p["mid"]["rb1"], h)
+    h = attention_block(p["mid"]["attn"], h)
+    h = residual_block(p["mid"]["rb2"], h)
+    h = jax.nn.silu(rms_norm_ch(p["head_norm"], h))
+    return causal_conv3d(p["head_conv"], h)
+
+
+def decoder_init(key, cfg: WanVAEConfig, dtype=jnp.float32):
+    mult = tuple(cfg.dim_mult)
+    dims = [cfg.base_dim * u for u in (mult[-1],) + tuple(reversed(mult))]
+    temperal_upsample = tuple(reversed(cfg.temperal_downsample))
+    ks = iter(jax.random.split(key, 64))
+    p = {"conv1": conv3d_init(next(ks), cfg.z_dim, dims[0], (3, 3, 3), dtype)}
+    p["mid"] = {
+        "rb1": residual_block_init(next(ks), dims[0], dims[0], dtype),
+        "attn": attention_block_init(next(ks), dims[0], dtype),
+        "rb2": residual_block_init(next(ks), dims[0], dims[0], dtype),
+    }
+    stages = []
+    for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+        if i in (1, 2, 3):
+            din = din // 2  # previous stage's upsampler halved channels
+        blocks = []
+        d = din
+        for _ in range(cfg.num_res_blocks + 1):
+            blocks.append(residual_block_init(next(ks), d, dout, dtype))
+            d = dout
+        stage = {"blocks": blocks}
+        if i != len(mult) - 1:
+            if temperal_upsample[i]:
+                stage["up"] = upsample3d_init(next(ks), dout, dout // 2, dtype)
+                stage["up_mode"] = "3d"
+            else:
+                stage["up"] = upsample2d_init(next(ks), dout, dout // 2, dtype)
+                stage["up_mode"] = "2d"
+        stages.append(stage)
+    p["stages"] = stages
+    p["head_norm"] = rms_norm_ch_init(dims[-1], dtype)
+    p["head_conv"] = conv3d_init(next(ks), dims[-1], 3, (3, 3, 3), dtype)
+    return p
+
+
+def decoder_apply(p, cfg: WanVAEConfig, z):
+    """z: [B, F, H/8, W/8, z] -> video [B, T, H, W, 3]."""
+    h = causal_conv3d(p["conv1"], z)
+    h = residual_block(p["mid"]["rb1"], h)
+    h = attention_block(p["mid"]["attn"], h)
+    h = residual_block(p["mid"]["rb2"], h)
+    for stage in p["stages"]:
+        for bp in stage["blocks"]:
+            h = residual_block(bp, h)
+        if "up" in stage:
+            if stage["up_mode"] == "3d":
+                h = upsample_temporal(stage["up"], h)
+            h = upsample_spatial(stage["up"], h)
+    h = jax.nn.silu(rms_norm_ch(p["head_norm"], h))
+    return causal_conv3d(p["head_conv"], h)
+
+
+# ---------------------------------------------------------------------------
+# full VAE
+# ---------------------------------------------------------------------------
+
+@MODELS.register_module(name="WanVAE")
+def init(key, cfg: WanVAEConfig, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "encoder": encoder_init(k1, cfg, dtype),
+        "decoder": decoder_init(k2, cfg, dtype),
+        "quant_conv": conv3d_init(k3, cfg.z_dim * 2, cfg.z_dim * 2, (1, 1, 1), dtype),
+        "post_quant_conv": conv3d_init(k4, cfg.z_dim, cfg.z_dim, (1, 1, 1), dtype),
+    }
+
+
+def encode_moments(params, cfg: WanVAEConfig, video):
+    """video: [B, T, H, W, 3] in [-1, 1] -> (mean, logvar), each [B,F,h,w,z]."""
+    moments = causal_conv3d(params["quant_conv"],
+                            encoder_apply(params["encoder"], cfg, video))
+    mean, logvar = jnp.split(moments, 2, axis=-1)
+    return mean, logvar
+
+
+def encode_mode(params, cfg: WanVAEConfig, video):
+    """Deterministic encode (sample_mode='argmax', pipeline_mova.py:236-240)."""
+    mean, _ = encode_moments(params, cfg, video)
+    return mean
+
+
+def encode_sample(params, cfg: WanVAEConfig, video, key):
+    mean, logvar = encode_moments(params, cfg, video)
+    std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+    return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+
+
+def decode(params, cfg: WanVAEConfig, z):
+    """z: [B, F, h, w, z] -> video [B, T, H, W, 3]."""
+    z = causal_conv3d(params["post_quant_conv"], z)
+    return decoder_apply(params["decoder"], cfg, z)
+
+
+def normalize_latents(z, cfg: WanVAEConfig):
+    """(z - mean) / std with per-channel config stats (pipeline_mova.py:151-160);
+    channels-last layout."""
+    mean = jnp.asarray(cfg.latents_mean, z.dtype)
+    std = jnp.asarray(cfg.latents_std, z.dtype)
+    return (z - mean) / std
+
+
+def denormalize_latents(z, cfg: WanVAEConfig):
+    mean = jnp.asarray(cfg.latents_mean, z.dtype)
+    std = jnp.asarray(cfg.latents_std, z.dtype)
+    return z * std + mean

@@ -31,6 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+
+def _interpret() -> bool:
+    """Run kernels in interpreter mode off-TPU (CPU tests)."""
+    return jax.default_backend() != "tpu"
+
 DEFAULT_BQ = 512
 DEFAULT_BK = 512
 
@@ -62,7 +67,7 @@ def _fwd_kernel(vlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     ) * scale  # [bq, bk]
 
     if masked:
-        vlen = vlen_ref[0]
+        vlen = vlen_ref[pl.program_id(0), 0]
         kpos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         s = jnp.where(kpos < vlen, s, NEG_INF)
 
@@ -111,7 +116,7 @@ def _fwd(q, k, v, kv_valid_len, bq: int, bk: int):
         functools.partial(_fwd_kernel, scale=scale, bq=bq, bk=bk, masked=masked),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, qi, ki: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),
@@ -137,6 +142,7 @@ def _fwd(q, k, v, kv_valid_len, bq: int, bk: int):
             bytes_accessed=2 * bn * (sq_p + 2 * sk_p) * d,
             transcendentals=bn * sq_p * sk_p,
         ),
+        interpret=_interpret(),
     )(kv_valid_len, q, k, v)
     return out[:, :sq], lse[:, :sq]
 
@@ -160,7 +166,7 @@ def _bwd_dq_kernel(vlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     if masked:
-        vlen = vlen_ref[0]
+        vlen = vlen_ref[pl.program_id(0), 0]
         kpos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         s = jnp.where(kpos < vlen, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0][:, None])  # [bq, bk]
@@ -195,7 +201,7 @@ def _bwd_dkv_kernel(vlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [bq, bk]
     if masked:
-        vlen = vlen_ref[0]
+        vlen = vlen_ref[pl.program_id(0), 0]
         kpos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         s = jnp.where(kpos < vlen, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0][:, None])  # [bq, bk]
@@ -242,7 +248,7 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
 
     scale = d ** -0.5
     common_specs = [
-        pl.BlockSpec((1, 1), lambda b, i, j: (b, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
 
     dq = pl.pallas_call(
@@ -262,6 +268,7 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=_interpret(),
     )(kv_valid_len, q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
@@ -290,6 +297,7 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=_interpret(),
     )(kv_valid_len, q, k, v, do, lse, delta)
 
     return dq[:, :sq], dk[:, :sk], dv[:, :sk]

@@ -1,0 +1,55 @@
+"""Pallas flash attention vs XLA reference (CPU interpret mode, small shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dualforce_tpu.ops.attention import attention_ref
+from dualforce_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+@pytest.mark.parametrize("sq,sk,bq,bk", [
+    (256, 256, 128, 128),       # aligned
+    (300, 200, 128, 128),       # padded q and kv
+    (256, 512, 128, 256),       # cross-attn shape (long kv)
+])
+def test_forward_matches_reference(sq, sk, bq, bk):
+    b, n, d = 1, 2, 128
+    q, k, v = _rand(0, (b, sq, n, d)), _rand(1, (b, sk, n, d)), _rand(2, (b, sk, n, d))
+    got = flash_attention(q, k, v, block_q=bq, block_k=bk)
+    want = attention_ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_forward_kv_mask():
+    b, n, d, sq, sk = 2, 1, 128, 128, 256
+    q, k, v = _rand(3, (b, sq, n, d)), _rand(4, (b, sk, n, d)), _rand(5, (b, sk, n, d))
+    vlen = jnp.array([100, 256], jnp.int32)
+    got = flash_attention(q, k, v, kv_valid_len=vlen, block_q=128, block_k=128)
+    want = attention_ref(q, k, v, kv_valid_len=vlen)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("sq,sk", [(256, 256), (300, 200)])
+def test_backward_matches_reference(sq, sk):
+    b, n, d = 1, 2, 128
+    q, k, v = _rand(6, (b, sq, n, d)), _rand(7, (b, sk, n, d)), _rand(8, (b, sk, n, d))
+    w = _rand(9, (b, sq, n, d))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128, block_k=128) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_ref(q, k, v) * w)
+
+    g_got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip(g_got, g_want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4,
+            err_msg=f"d{name} mismatch")

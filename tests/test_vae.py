@@ -1,0 +1,129 @@
+"""Audio (DAC) parity vs the reference torch model, and Wan video VAE
+structural/causality tests (no diffusers oracle available in this image)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from dualforce_tpu.config import DACVAEConfig, WanVAEConfig
+from dualforce_tpu.convert.torch_import import convert_dac
+from dualforce_tpu.models import dac_vae, wan_vae
+
+from _torch_ref import load
+
+ref_dac = load("mova.diffusion.models.dac_vae")
+
+TINY_DAC = DACVAEConfig(encoder_dim=8, encoder_rates=(2, 3, 4), decoder_dim=64,
+                        decoder_rates=(4, 3, 2), latent_dim=8, sample_rate=48000)
+
+
+def _torch_dac(cfg, seed=0):
+    torch.manual_seed(seed)
+    return ref_dac.DAC(
+        encoder_dim=cfg.encoder_dim, encoder_rates=list(cfg.encoder_rates),
+        latent_dim=cfg.latent_dim, decoder_dim=cfg.decoder_dim,
+        decoder_rates=list(cfg.decoder_rates), sample_rate=cfg.sample_rate,
+        continuous=True,
+    ).eval()
+
+
+def test_dac_encode_decode_parity():
+    cfg = TINY_DAC
+    tm = _torch_dac(cfg)
+    params = convert_dac(tm.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    hop = cfg.hop_length
+    audio = rng.standard_normal((1, 1, hop * 5), dtype=np.float32) * 0.3
+
+    with torch.no_grad():
+        z_dist, *_ = tm.encode(torch.tensor(audio))
+        want_mean = z_dist.mean.numpy()
+        want_wav = tm.decode(torch.tensor(want_mean)).numpy()
+
+    got_mean = dac_vae.encode_mode(params, cfg, jnp.asarray(audio))
+    np.testing.assert_allclose(np.asarray(got_mean), want_mean, rtol=1e-4, atol=1e-5)
+
+    got_wav = dac_vae.decode(params, cfg, jnp.asarray(want_mean))
+    np.testing.assert_allclose(np.asarray(got_wav), want_wav, rtol=1e-4, atol=1e-5)
+
+
+def test_dac_padded_length():
+    cfg = TINY_DAC
+    tm = _torch_dac(cfg)
+    params = convert_dac(tm.state_dict(), cfg)
+    hop = cfg.hop_length
+    audio = np.random.default_rng(1).standard_normal((1, 1, hop * 3 + 7), dtype=np.float32)
+    with torch.no_grad():
+        z_dist, *_ = tm.encode(tm.preprocess(torch.tensor(audio), cfg.sample_rate))
+        want = z_dist.mean.numpy()
+    got = dac_vae.encode_mode(params, cfg, jnp.asarray(audio))
+    assert got.shape == want.shape == (1, cfg.latent_dim, 4)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+# --- Wan video VAE (no oracle; structural + causality invariants) -----------
+
+TINY_WAN = WanVAEConfig(base_dim=8, z_dim=4, dim_mult=(1, 2, 2), num_res_blocks=1,
+                        temperal_downsample=(False, True),
+                        latents_mean=tuple([0.0] * 4), latents_std=tuple([1.0] * 4))
+
+
+def test_wan_vae_shapes_roundtrip():
+    cfg = TINY_WAN
+    key = jax.random.PRNGKey(0)
+    params = wan_vae.init(key, cfg)
+    T, H, W = 9, 16, 16  # (T-1) % 2 == 0 for one temporal down
+    video = jax.random.normal(jax.random.PRNGKey(1), (1, T, H, W, 3))
+    mean, logvar = wan_vae.encode_moments(params, cfg, video)
+    # one temporal downsample (stride 2): F = (T-1)/2 + 1; spatial /4 (2 downs)
+    assert mean.shape == (1, (T - 1) // 2 + 1, H // 4, W // 4, cfg.z_dim)
+    out = wan_vae.decode(params, cfg, mean)
+    assert out.shape == (1, T, H, W, 3)
+
+
+def test_wan_vae_encoder_causality():
+    """Latent frame t must not depend on input frames strictly after its
+    receptive window (causal convs): perturbing the LAST input frames must
+    not change the FIRST latent frame."""
+    cfg = TINY_WAN
+    params = wan_vae.init(jax.random.PRNGKey(0), cfg)
+    v1 = jax.random.normal(jax.random.PRNGKey(2), (1, 9, 8, 8, 3))
+    v2 = v1.at[:, 5:].set(jax.random.normal(jax.random.PRNGKey(3), (1, 4, 8, 8, 3)))
+    m1, _ = wan_vae.encode_moments(params, cfg, v1)
+    m2, _ = wan_vae.encode_moments(params, cfg, v2)
+    np.testing.assert_allclose(np.asarray(m1[:, 0]), np.asarray(m2[:, 0]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_wan_vae_decoder_causality():
+    cfg = TINY_WAN
+    params = wan_vae.init(jax.random.PRNGKey(0), cfg)
+    z1 = jax.random.normal(jax.random.PRNGKey(4), (1, 5, 4, 4, cfg.z_dim))
+    z2 = z1.at[:, 3:].set(0.0)
+    o1 = wan_vae.decode(params, cfg, z1)
+    o2 = wan_vae.decode(params, cfg, z2)
+    # first output frame depends only on first latent frame
+    np.testing.assert_allclose(np.asarray(o1[:, 0]), np.asarray(o2[:, 0]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_wan_vae_frame_count_193():
+    """Shipped geometry: 193 frames <-> 49 latent frames (SURVEY.md §0.1)."""
+    cfg = WanVAEConfig()
+    T = 13  # (13-1)/4+1 = 4 latent frames with two temporal downs
+    params = wan_vae.init(jax.random.PRNGKey(0),
+                          WanVAEConfig(base_dim=8, z_dim=4, dim_mult=(1, 1, 2, 2),
+                                       num_res_blocks=1,
+                                       temperal_downsample=(False, True, True),
+                                       latents_mean=tuple([0.0] * 4),
+                                       latents_std=tuple([1.0] * 4)))
+    cfg_t = WanVAEConfig(base_dim=8, z_dim=4, dim_mult=(1, 1, 2, 2), num_res_blocks=1,
+                         temperal_downsample=(False, True, True),
+                         latents_mean=tuple([0.0] * 4), latents_std=tuple([1.0] * 4))
+    video = jax.random.normal(jax.random.PRNGKey(5), (1, T, 16, 16, 3))
+    mean, _ = wan_vae.encode_moments(params, cfg_t, video)
+    assert mean.shape[1] == (T - 1) // 4 + 1
+    out = wan_vae.decode(params, cfg_t, mean)
+    assert out.shape[1] == T
