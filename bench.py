@@ -1,0 +1,159 @@
+"""Benchmark: dual-tower denoise step at MOVA-360p sequence geometry.
+
+Runs the REAL compute path (Pallas flash attention, scanned dual-tower with
+bridge, fp32 time embeds / bf16 towers) at the full 360p token geometry
+(43,120 video tokens, 403 audio tokens, 512 text tokens — SURVEY.md §0.1) on
+one chip, with model width scaled to fit the local HBM. Reports measured
+model-FLOPs utilisation and the MFU-extrapolated full-size (two 14B towers +
+1.3B audio + bridge) single-pass step time, compared against the reference's
+H100 denoise step baseline (9.0 s, component offload — BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def dit_flops(L, d, ffn, layers, Lt=512):
+    """Per-pass FLOPs of one tower (self-attn + text cross-attn + FFN)."""
+    proj_self = 4 * 2 * L * d * d
+    attn_self = 4 * L * L * d
+    proj_cross = 2 * 2 * L * d * d + 2 * 2 * Lt * d * d
+    attn_cross = 4 * L * Lt * d
+    ffn_f = 2 * 2 * L * d * ffn
+    return layers * (proj_self + attn_self + proj_cross + attn_cross + ffn_f)
+
+
+def bridge_flops(Lv, La, dv, da, head_dim, layers):
+    per = 0
+    # a2v: q,o on Lv at dv; k,v on La (da->dv); attn Lv x La at dv
+    per += 2 * 2 * Lv * dv * dv + 2 * 2 * La * da * dv + 4 * Lv * La * dv
+    # v2a: q,o on La at da; k,v on Lv (dv->da); attn La x Lv at da
+    per += 2 * 2 * La * da * da + 2 * 2 * Lv * dv * da + 4 * La * Lv * da
+    return layers * per
+
+
+def main():
+    small = "--small" in sys.argv
+    import jax
+    import jax.numpy as jnp
+
+    from dualforce_tpu.config import (
+        AudioDiTConfig,
+        BridgeConfig,
+        MOVAConfig,
+        VideoDiTConfig,
+    )
+    from dualforce_tpu.diffusion.step import dual_tower_step
+    from dualforce_tpu.models.factory import init_pipeline_params
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    # 360p geometry: latents [16, 49, 44, 80] -> (1,2,2) patch -> 49*22*40 tokens
+    if small or not on_tpu:
+        F, H, W = 5, 8, 16           # tiny CPU fallback geometry
+        v_layers, a_layers = 2, 1
+        dim, heads, ffn = 256, 2, 688
+        adim, aheads, affn = 128, 1, 344
+        iters = 2
+    else:
+        F, H, W = 49, 22, 40
+        v_layers, a_layers = 8, 4
+        dim, heads, ffn = 2048, 16, 5632
+        adim, aheads, affn = 1024, 8, 2816
+        iters = 4
+    Lv = F * H * W
+    La = 403 if on_tpu and not small else 50
+    Lt = 512 if on_tpu and not small else 64
+
+    cfg = MOVAConfig(
+        video_dit=VideoDiTConfig(dim=dim, in_dim=36, ffn_dim=ffn, out_dim=16,
+                                 text_dim=512, freq_dim=64, num_heads=heads,
+                                 num_layers=v_layers, rope_max_len=128),
+        audio_dit=AudioDiTConfig(dim=adim, in_dim=128, ffn_dim=affn, out_dim=128,
+                                 text_dim=512, freq_dim=64, num_heads=aheads,
+                                 num_layers=a_layers, rope_max_len=1024),
+        bridge=BridgeConfig(visual_layers=v_layers, audio_layers=a_layers,
+                            visual_hidden_dim=dim, audio_hidden_dim=adim,
+                            head_dim=dim // heads, interaction_strategy="full",
+                            apply_cross_rope=True, audio_fps=50.0),
+    )
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
+                                  with_vaes=False, with_text=False,
+                                  two_video_towers=False)
+
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 3)
+    visual = jax.random.normal(ks[0], (1, 36, F, 2 * H, 2 * W), jnp.float32)
+    audio = jax.random.normal(ks[1], (1, 128, La), jnp.float32)
+    ctx = jax.random.normal(ks[2], (1, Lt, 512), jnp.float32)
+    t = jnp.full((1,), 750.0, jnp.float32)
+
+    @jax.jit
+    def step(visual, audio, ctx, t):
+        return dual_tower_step(
+            params["video_dit"], params["audio_dit"], params["bridge"],
+            cfg.video_dit, cfg.audio_dit, cfg.bridge,
+            visual, audio, ctx, t, t, video_fps=24.0,
+            compute_dtype=jnp.bfloat16)
+
+    c0 = time.perf_counter()
+    out = step(visual, audio, ctx, t)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - c0
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = step(visual, audio, ctx, t)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    step_s = float(np.median(times))
+
+    flops_proxy = (
+        dit_flops(Lv, dim, ffn, v_layers, Lt)
+        + dit_flops(La, adim, affn, a_layers, Lt)
+        + bridge_flops(Lv, La, dim, adim, dim // heads, min(v_layers, a_layers))
+    )
+    achieved = flops_proxy / step_s  # FLOP/s
+    peak = 197e12 if on_tpu else 1e12  # v5e bf16 peak
+    mfu = achieved / peak
+
+    # full MOVA-360p single-pass FLOPs (one 14B tower active per step)
+    Lv_full, La_full = 49 * 22 * 40, 403
+    flops_full = (
+        dit_flops(Lv_full, 5120, 13824, 40, 512)
+        + dit_flops(La_full, 1536, 8960, 30, 512)
+        + bridge_flops(Lv_full, La_full, 5120, 1536, 128, 30)
+    )
+    est_full_step = flops_full / max(achieved, 1.0)
+    baseline_h100 = 9.0  # s/step, component offload (BASELINE.md)
+    result = {
+        "metric": "mova360p_denoise_step_time_extrapolated",
+        "value": round(est_full_step, 3),
+        "unit": "s/step/chip",
+        "vs_baseline": round(baseline_h100 / est_full_step, 4),
+        "detail": {
+            "proxy_step_s": round(step_s, 4),
+            "proxy_tflops": round(flops_proxy / 1e12, 2),
+            "achieved_tflops_s": round(achieved / 1e12, 2),
+            "mfu": round(mfu, 4),
+            "compile_s": round(compile_s, 1),
+            "backend": jax.default_backend(),
+            "video_tokens": Lv,
+            "baseline": "H100 9.0 s/denoise-step (component offload, README.md:118-123)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

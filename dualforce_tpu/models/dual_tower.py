@@ -24,6 +24,7 @@ from dualforce_tpu import nn
 from dualforce_tpu.config import AudioDiTConfig, BridgeConfig, VideoDiTConfig
 from dualforce_tpu.models import bridge as bridge_mod
 from dualforce_tpu.models.video_dit import dit_block_apply
+from dualforce_tpu.parallel.hints import constrain
 
 
 def forward_dual_tower(
@@ -51,6 +52,8 @@ def forward_dual_tower(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     min_layers = bcfg.min_layers
     interact = bcfg.interaction_layers()
+    visual_x = constrain(visual_x, "video_tokens")
+    audio_x = constrain(audio_x, "audio_tokens")
     vis_freqs = cross_rope[0] if cross_rope is not None else None
     aud_freqs = cross_rope[1] if cross_rope is not None else None
 
@@ -116,4 +119,6 @@ def forward_dual_tower(
         tail = jax.tree.map(lambda a: a[min_layers:], video_blocks)
         visual_x, _ = jax.lax.scan(vbody, visual_x, tail)
 
+    visual_x = constrain(visual_x, "video_tokens")
+    audio_x = constrain(audio_x, "audio_tokens")
     return visual_x, audio_x

@@ -212,12 +212,9 @@ def encoder_init(key, cfg: WanVAEConfig, dtype=jnp.float32):
             d = dout
         stage = {"blocks": blocks}
         if i != len(cfg.dim_mult) - 1:
-            if cfg.temperal_downsample[i]:
-                stage["down"] = downsample3d_init(next(ks), dout, dtype)
-                stage["down_mode"] = "3d"
-            else:
-                stage["down"] = downsample2d_init(next(ks), dout, dtype)
-                stage["down_mode"] = "2d"
+            stage["down"] = (downsample3d_init(next(ks), dout, dtype)
+                             if cfg.temperal_downsample[i]
+                             else downsample2d_init(next(ks), dout, dtype))
         stages.append(stage)
     p["stages"] = stages
     out = dims[-1]
@@ -234,12 +231,12 @@ def encoder_init(key, cfg: WanVAEConfig, dtype=jnp.float32):
 def encoder_apply(p, cfg: WanVAEConfig, x):
     """x: [B, T, H, W, 3] -> moments [B, F, H/8, W/8, 2*z]."""
     h = causal_conv3d(p["conv1"], x)
-    for stage in p["stages"]:
+    for i, stage in enumerate(p["stages"]):
         for bp in stage["blocks"]:
             h = residual_block(bp, h)
         if "down" in stage:
             h = downsample_spatial(stage["down"], h)
-            if stage["down_mode"] == "3d":
+            if cfg.temperal_downsample[i]:
                 h = downsample_temporal(stage["down"], h)
     h = residual_block(p["mid"]["rb1"], h)
     h = attention_block(p["mid"]["attn"], h)
@@ -270,12 +267,9 @@ def decoder_init(key, cfg: WanVAEConfig, dtype=jnp.float32):
             d = dout
         stage = {"blocks": blocks}
         if i != len(mult) - 1:
-            if temperal_upsample[i]:
-                stage["up"] = upsample3d_init(next(ks), dout, dout // 2, dtype)
-                stage["up_mode"] = "3d"
-            else:
-                stage["up"] = upsample2d_init(next(ks), dout, dout // 2, dtype)
-                stage["up_mode"] = "2d"
+            stage["up"] = (upsample3d_init(next(ks), dout, dout // 2, dtype)
+                           if temperal_upsample[i]
+                           else upsample2d_init(next(ks), dout, dout // 2, dtype))
         stages.append(stage)
     p["stages"] = stages
     p["head_norm"] = rms_norm_ch_init(dims[-1], dtype)
@@ -289,11 +283,12 @@ def decoder_apply(p, cfg: WanVAEConfig, z):
     h = residual_block(p["mid"]["rb1"], h)
     h = attention_block(p["mid"]["attn"], h)
     h = residual_block(p["mid"]["rb2"], h)
-    for stage in p["stages"]:
+    temperal_upsample = tuple(reversed(cfg.temperal_downsample))
+    for i, stage in enumerate(p["stages"]):
         for bp in stage["blocks"]:
             h = residual_block(bp, h)
         if "up" in stage:
-            if stage["up_mode"] == "3d":
+            if temperal_upsample[i]:
                 h = upsample_temporal(stage["up"], h)
             h = upsample_spatial(stage["up"], h)
     h = jax.nn.silu(rms_norm_ch(p["head_norm"], h))

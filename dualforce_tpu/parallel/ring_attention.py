@@ -1,0 +1,118 @@
+"""Sequence-parallel attention collectives (shard_map level).
+
+TPU-native replacement for yunchang's Ulysses×Ring USP attention
+(reference wan_video_dit.py:192-208, inference_single.py:102-119):
+
+  - `ring_attention`: K/V chunks rotate around the `cp` ring via
+    `lax.ppermute` (ICI collective-permute on TPU) with online-softmax
+    accumulation — each rank keeps its local Q shard. O(S/cp) memory,
+    bandwidth-optimal, comm overlappable by XLA.
+  - `lse_combine_cross_attention`: for cross-attention where Q is SMALL and
+    replicated but K/V are sequence-sharded (the bridge's v2a direction:
+    403 audio queries against 43k sharded video tokens) — each rank attends
+    to its local K/V chunk, partials merge exactly via a log-sum-exp-weighted
+    psum. One tiny all-reduce instead of gathering 43k-token K/V.
+  - `ulysses_attention`: all-to-all head redistribution (each rank sees the
+    FULL sequence for a head subset), matching yunchang's Ulysses degree;
+    composable with ring for 2-level hybrids.
+
+All functions run inside `shard_map` over a mesh axis; `inner` is the local
+attention kernel (defaults to the Pallas flash / XLA reference dispatch).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dualforce_tpu.ops.attention import attention_ref
+
+
+def _inner_with_lse(q, k, v):
+    """Local attention returning (normalized_out, lse). q/k/v: [B, S, N, D]."""
+    d = q.shape[-1]
+    qf = q.astype(jnp.float32) * (d ** -0.5)
+    logits = jnp.einsum("bqnd,bknd->bnqk", qf, k.astype(jnp.float32))
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bnqk,bknd->bqnd", p / l, v.astype(jnp.float32))
+    lse = (m + jnp.log(l))[..., 0]        # [B, N, Sq]
+    return o.astype(q.dtype), lse
+
+
+def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   axis_name: str,
+                   inner: Callable = _inner_with_lse) -> jnp.ndarray:
+    """Ring attention over a sharded sequence. q/k/v: [B, S_local, N, D]."""
+    n_dev = lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    b, sq, nh, d = q.shape
+
+    def body(i, carry):
+        k_c, v_c, m, s, acc = carry
+        o_i, lse_i = inner(q, k_c, v_c)
+        o_i = o_i.astype(jnp.float32)
+        m_new = jnp.maximum(m, lse_i)
+        w_old = jnp.exp(m - m_new)
+        w_new = jnp.exp(lse_i - m_new)
+        acc = acc * w_old.transpose(0, 2, 1)[..., None] + o_i * w_new.transpose(0, 2, 1)[..., None]
+        s = s * w_old + w_new
+        k_c = lax.ppermute(k_c, axis_name, perm)
+        v_c = lax.ppermute(v_c, axis_name, perm)
+        return k_c, v_c, m_new, s, acc
+
+    m0 = jnp.full((b, nh, sq), -jnp.inf, jnp.float32)
+    s0 = jnp.zeros((b, nh, sq), jnp.float32)
+    acc0 = jnp.zeros((b, sq, nh, d), jnp.float32)
+    # mark the constant initial carry as device-varying over the ring axis so
+    # the fori_loop carry types match (shard_map vma typing)
+    m0, s0, acc0 = jax.lax.pvary((m0, s0, acc0), (axis_name,))
+    _, _, _, s, acc = lax.fori_loop(0, n_dev, body, (k, v, m0, s0, acc0))
+    out = acc / s.transpose(0, 2, 1)[..., None]
+    return out.astype(q.dtype)
+
+
+def lse_combine_cross_attention(q: jnp.ndarray, k_local: jnp.ndarray,
+                                v_local: jnp.ndarray, axis_name: str,
+                                inner: Callable = _inner_with_lse) -> jnp.ndarray:
+    """Cross-attention with replicated Q and sequence-sharded K/V; exact
+    softmax via LSE-weighted all-reduce of per-rank partials."""
+    o_i, lse_i = inner(q, k_local, v_local)          # o: [B,Sq,N,D]; lse: [B,N,Sq]
+    m = lax.pmax(lse_i, axis_name)
+    w = jnp.exp(lse_i - m)                            # [B, N, Sq]
+    num = lax.psum(o_i.astype(jnp.float32) * w.transpose(0, 2, 1)[..., None], axis_name)
+    den = lax.psum(w, axis_name)
+    return (num / den.transpose(0, 2, 1)[..., None]).astype(q.dtype)
+
+
+def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      axis_name: str,
+                      inner: Optional[Callable] = None) -> jnp.ndarray:
+    """Ulysses: all-to-all so each rank holds the FULL sequence for N/cp heads,
+    run local attention, all-to-all back. Requires num_heads % axis_size == 0."""
+    n_dev = lax.axis_size(axis_name)
+
+    def scatter_heads(x):  # [B, S_loc, N, D] -> [B, S_full, N/n, D]
+        b, s, nh, d = x.shape
+        x = x.reshape(b, s, n_dev, nh // n_dev, d)
+        x = lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=False)
+        return x.reshape(b, s * n_dev, nh // n_dev, d)
+
+    def gather_heads(x):  # [B, S_full, N/n, D] -> [B, S_loc, N, D]
+        b, sf, nh_l, d = x.shape
+        x = x.reshape(b, n_dev, sf // n_dev, nh_l, d)
+        # remove the seq-chunk device axis, insert the head device axis BEFORE
+        # local heads (full head index = dev * nh_local + local head)
+        x = lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=False)
+        return x.reshape(b, sf // n_dev, nh_l * n_dev, d)
+
+    qh, kh, vh = scatter_heads(q), scatter_heads(k), scatter_heads(v)
+    if inner is None:
+        out = attention_ref(qh, kh, vh)
+    else:
+        out, _ = inner(qh, kh, vh)
+    return gather_heads(out)

@@ -1,0 +1,61 @@
+"""Profiling/observability helpers.
+
+Replaces the reference's cpu_timer/gpu_timer/track_gpu_mem
+(mova/utils/misc.py:39-143) with TPU-native equivalents: device-synchronized
+wall timers, HBM stats via device.memory_stats(), and jax.profiler trace
+scoping (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def device_timer(name: str = "", sync_tree=None, verbose: bool = True):
+    """Wall-clock bracket that blocks on `sync_tree` (device work) at exit."""
+    t0 = time.perf_counter()
+    result = {}
+    try:
+        yield result
+    finally:
+        if sync_tree is not None:
+            jax.block_until_ready(sync_tree)
+        result["seconds"] = time.perf_counter() - t0
+        if verbose and name:
+            print(f"[timer] {name}: {result['seconds']:.3f}s")
+
+
+def hbm_stats(device=None) -> Dict[str, int]:
+    """Device memory stats (bytes); empty dict on backends without support."""
+    device = device or jax.local_devices()[0]
+    try:
+        return dict(device.memory_stats() or {})
+    except Exception:
+        return {}
+
+
+def hbm_in_use_gb(device=None) -> float:
+    stats = hbm_stats(device)
+    return stats.get("bytes_in_use", 0) / 1e9
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: Optional[str]):
+    """jax.profiler trace scope (Perfetto/XPlane); no-op if log_dir is None."""
+    if log_dir is None:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def tree_size_bytes(params) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))

@@ -1,0 +1,78 @@
+"""End-to-end tiny-model generation: prompt + image -> video frames + waveform.
+
+Exercises every interface of the stack (tokenize -> UMT5 -> VAE encode ->
+jitted dual-tower denoise with expert switch + CFG -> VAE/DAC decode) at a
+random-weight tiny config — SURVEY.md §7.2 phase 4's ONE-model milestone.
+"""
+
+import jax
+import numpy as np
+
+from dualforce_tpu.config import tiny_test_config
+from dualforce_tpu.diffusion.pipeline import MOVAPipeline
+from dualforce_tpu.diffusion.sampler import build_plan
+from dualforce_tpu.diffusion.flow_match import FlowMatchPairScheduler
+from dualforce_tpu.models.factory import init_pipeline_params
+
+
+class FakeTokenizer:
+    """Byte-level stand-in for T5TokenizerFast (no checkpoint in this image)."""
+
+    def __call__(self, prompts, padding=None, max_length=512, truncation=True,
+                 add_special_tokens=True, return_attention_mask=True,
+                 return_tensors="np"):
+        ids = np.zeros((len(prompts), max_length), np.int64)
+        mask = np.zeros((len(prompts), max_length), np.int64)
+        for i, p in enumerate(prompts):
+            toks = [2 + (b % 500) for b in p.encode()][: max_length - 1] + [1]
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+def _build_pipeline():
+    cfg = tiny_test_config()
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+    return MOVAPipeline(cfg, params, tokenizer=FakeTokenizer(),
+                        compute_dtype=jax.numpy.float32, attn_impl="ref")
+
+
+def test_generate_tiny():
+    pipe = _build_pipeline()
+    image = np.random.default_rng(0).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    res = pipe("a cat playing piano", image, negative_prompt="blurry",
+               seed=42, height=32, width=32, num_frames=5, video_fps=24.0,
+               num_inference_steps=3, cfg_scale=5.0)
+    assert res.video.shape == (5, 32, 32, 3)
+    assert res.video.dtype == np.uint8
+    num_samples_padded = -(-int(48000 * 5 / 24) // 960) * 960
+    assert res.audio.shape == (num_samples_padded,)
+    assert np.isfinite(res.audio).all()
+    assert res.sample_rate == 48000
+
+
+def test_generate_deterministic_and_cfg_batch_equivalent():
+    pipe = _build_pipeline()
+    image = np.random.default_rng(1).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    kw = dict(seed=7, height=32, width=32, num_frames=5,
+              num_inference_steps=2, cfg_scale=3.0)
+    r1 = pipe("hello", image, **kw)
+    r2 = pipe("hello", image, **kw)
+    np.testing.assert_array_equal(r1.video, r2.video)
+    np.testing.assert_array_equal(r1.audio, r2.audio)
+    # batched-CFG path must match the two-pass path numerically (fp32)
+    r3 = pipe("hello", image, cfg_batch=True, **kw)
+    np.testing.assert_allclose(r3.audio, r1.audio, atol=1e-4)
+    assert np.mean(np.abs(r3.video.astype(int) - r1.video.astype(int))) < 1.0
+
+
+def test_plan_boundary_switch():
+    cfg = tiny_test_config()
+    sched = FlowMatchPairScheduler(cfg.scheduler)
+    sched.set_timesteps(50, shift=5.0)
+    plan = build_plan(sched, boundary_ratio=0.9)
+    ts = plan.pair_timesteps[:, 0]
+    b = plan.boundary_step
+    assert (ts[:b] >= 900).all() and (ts[b:] < 900).all()
+    # sigma columns align with timesteps
+    np.testing.assert_allclose(plan.sigmas_visual[:-1] * 1000, ts, rtol=1e-4)
