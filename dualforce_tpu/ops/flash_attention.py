@@ -89,11 +89,15 @@ def _fwd_kernel(vlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l = l_ref[:]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:] + jnp.log(l_safe))[:, 0]
+        if lse_ref is not None:
+            # TPU-legal layout: broadcast over a 128-lane trailing dim
+            lse_ref[0] = jnp.broadcast_to(m_ref[:] + jnp.log(l_safe),
+                                          lse_ref.shape[1:])
 
 
-def _fwd(q, k, v, kv_valid_len, bq: int, bk: int):
-    """q: [BN, Sq, D]; k/v: [BN, Sk, D]; kv_valid_len: [BN, 1] int32 or None."""
+def _fwd(q, k, v, kv_valid_len, bq: int, bk: int, save_lse: bool = True):
+    """q: [BN, Sq, D]; k/v: [BN, Sk, D]; kv_valid_len: [BN, 1] int32 or None.
+    Returns (out, lse) with lse [BN, Sq] fp32 (or None if save_lse=False)."""
     bn, sq, d = q.shape
     sk = k.shape[1]
     bq = min(bq, _ceil_to(sq, 128))
@@ -123,11 +127,13 @@ def _fwd(q, k, v, kv_valid_len, bq: int, bk: int):
         ],
         out_specs=[
             pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, bq), lambda b, qi, ki: (b, qi)),
+            pl.BlockSpec((1, bq, 128), lambda b, qi, ki: (b, qi, 0))
+            if save_lse else None,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bn, sq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((bn, sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((bn, sq_p, 128), jnp.float32)
+            if save_lse else None,
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, d), jnp.float32),
@@ -144,7 +150,7 @@ def _fwd(q, k, v, kv_valid_len, bq: int, bk: int):
         ),
         interpret=_interpret(),
     )(kv_valid_len, q, k, v)
-    return out[:, :sq], lse[:, :sq]
+    return out[:, :sq], (lse[:, :sq, 0] if save_lse else None)
 
 
 # ---------------------------------------------------------------------------
@@ -169,11 +175,11 @@ def _bwd_dq_kernel(vlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         vlen = vlen_ref[pl.program_id(0), 0]
         kpos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         s = jnp.where(kpos < vlen, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, None])  # [bq, bk]
+    p = jnp.exp(s - lse_ref[0, :, :1])  # [bq, bk]
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
-    ds = p * (dp - delta_ref[0][:, None])  # [bq, bk] f32
+    ds = p * (dp - delta_ref[0, :, :1])  # [bq, bk] f32
     dq_acc[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -204,7 +210,7 @@ def _bwd_dkv_kernel(vlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         vlen = vlen_ref[pl.program_id(0), 0]
         kpos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         s = jnp.where(kpos < vlen, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, None])  # [bq, bk]
+    p = jnp.exp(s - lse_ref[0, :, :1])  # [bq, bk]
     do = do_ref[0]  # [bq, d]
     dv_acc[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -212,7 +218,7 @@ def _bwd_dkv_kernel(vlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dp = jax.lax.dot_general(
         do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
-    ds = p * (dp - delta_ref[0][:, None])
+    ds = p * (dp - delta_ref[0, :, :1])
     dk_acc[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -246,6 +252,10 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
         pad = ((0, 0), (0, sk_p - sk), (0, 0))
         k, v = jnp.pad(k, pad), jnp.pad(v, pad)
 
+    # TPU-legal lane layout for the per-row scalars
+    lse = jnp.broadcast_to(lse[:, :, None], (bn, sq_p, 128))
+    delta = jnp.broadcast_to(delta[:, :, None], (bn, sq_p, 128))
+
     scale = d ** -0.5
     common_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -259,8 +269,8 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
             pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),   # k
             pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),   # v
             pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),   # do
-            pl.BlockSpec((1, bq), lambda b, qi, ki: (b, qi)),         # lse
-            pl.BlockSpec((1, bq), lambda b, qi, ki: (b, qi)),         # delta
+            pl.BlockSpec((1, bq, 128), lambda b, qi, ki: (b, qi, 0)),  # lse
+            pl.BlockSpec((1, bq, 128), lambda b, qi, ki: (b, qi, 0)),  # delta
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bn, sq_p, d), q.dtype),
@@ -279,8 +289,8 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
             pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),   # k
             pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),   # v
             pl.BlockSpec((1, bq, d), lambda b, ki, qi: (b, qi, 0)),   # do
-            pl.BlockSpec((1, bq), lambda b, ki, qi: (b, qi)),         # lse
-            pl.BlockSpec((1, bq), lambda b, ki, qi: (b, qi)),         # delta
+            pl.BlockSpec((1, bq, 128), lambda b, ki, qi: (b, qi, 0)),  # lse
+            pl.BlockSpec((1, bq, 128), lambda b, ki, qi: (b, qi, 0)),  # delta
         ],
         out_specs=[
             pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),
@@ -309,7 +319,7 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash(q, k, v, kv_valid_len, bq, bk):
-    o, _ = _fwd(q, k, v, kv_valid_len, bq, bk)
+    o, _ = _fwd(q, k, v, kv_valid_len, bq, bk, save_lse=False)
     return o
 
 

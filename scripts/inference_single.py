@@ -1,0 +1,117 @@
+"""Single-clip TI2VA inference CLI.
+
+Flag-for-flag counterpart of the reference scripts/inference_single.py:24-46.
+TPU notes: `--offload` modes are accepted for CLI compatibility but are no-ops
+— weights are HBM-resident (GSPMD-sharded when cp_size/fsdp_size > 1), which
+IS the memory strategy here. `--cp_size` builds a cp mesh axis; attention runs
+sequence-parallel over ICI instead of torchrun+NCCL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt_path", type=str, required=True)
+    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--negative_prompt", type=str, default="")
+    p.add_argument("--ref_path", type=str, required=True,
+                   help="reference first-frame image")
+    p.add_argument("--output", type=str, default="output.mp4")
+    p.add_argument("--num_frames", type=int, default=193)
+    p.add_argument("--fps", type=float, default=24.0)
+    p.add_argument("--height", type=int, default=352)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--cfg_scale", type=float, default=5.0)
+    p.add_argument("--sigma_shift", type=float, default=5.0)
+    p.add_argument("--visual_shift", type=float, default=None)
+    p.add_argument("--audio_shift", type=float, default=None)
+    p.add_argument("--cp_size", type=int, default=1)
+    p.add_argument("--fsdp_size", type=int, default=1)
+    p.add_argument("--attn_type", type=str, default="auto",
+                   choices=["auto", "pallas", "ref"])
+    p.add_argument("--offload", type=str, default="none",
+                   choices=["none", "cpu", "group"],
+                   help="accepted for reference-CLI parity; no-op on TPU")
+    p.add_argument("--remove_video_dit", action="store_true",
+                   help="free the high-noise tower after the boundary switch")
+    p.add_argument("--cfg_batch", action="store_true",
+                   help="batch pos+neg CFG passes in one forward")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import numpy as np
+    from PIL import Image
+
+    import jax
+
+    from dualforce_tpu.convert.load_checkpoint import (
+        config_from_checkpoint,
+        load_pipeline_params,
+        load_tokenizer,
+    )
+    from dualforce_tpu.data.transforms import crop_and_resize, image_to_tensor
+    from dualforce_tpu.diffusion.pipeline import MOVAPipeline
+    from dualforce_tpu.parallel.mesh import create_mesh
+    from dualforce_tpu.parallel.sharding import shard_params
+    from dualforce_tpu.utils.av_io import save_video_with_audio
+    from dualforce_tpu.utils.misc import device_timer, hbm_in_use_gb
+
+    if args.offload != "none":
+        print(f"[info] --offload {args.offload} ignored: weights stay "
+              "HBM-resident (sharded) on TPU")
+
+    cfg = config_from_checkpoint(args.ckpt_path)
+    params = load_pipeline_params(args.ckpt_path, cfg)
+    tokenizer = load_tokenizer(args.ckpt_path)
+
+    mesh = None
+    if args.cp_size * args.fsdp_size > 1:
+        mesh = create_mesh(1, args.fsdp_size, args.cp_size)
+        params = shard_params(params, mesh)
+        print(f"[info] mesh fsdp={args.fsdp_size} cp={args.cp_size}; "
+              f"HBM in use: {hbm_in_use_gb():.1f} GB")
+
+    pipe = MOVAPipeline(cfg, params, tokenizer=tokenizer, attn_impl=args.attn_type)
+
+    image = Image.open(args.ref_path).convert("RGB")
+    image = crop_and_resize(image, args.height, args.width)
+    first_frame = image_to_tensor(image)
+
+    ctx = mesh if mesh is not None else _nullcontext()
+    with ctx:
+        with device_timer("generation"):
+            result = pipe(
+                prompt=args.prompt, image=first_frame,
+                negative_prompt=args.negative_prompt, seed=args.seed,
+                height=args.height, width=args.width, num_frames=args.num_frames,
+                video_fps=args.fps, num_inference_steps=args.num_inference_steps,
+                sigma_shift=args.sigma_shift, visual_shift=args.visual_shift,
+                audio_shift=args.audio_shift, cfg_scale=args.cfg_scale,
+                cfg_batch=args.cfg_batch)
+
+    out = save_video_with_audio(args.output, result.video, result.audio,
+                                fps=result.fps, sample_rate=result.sample_rate)
+    print(f"[done] saved {out}")
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+if __name__ == "__main__":
+    main()

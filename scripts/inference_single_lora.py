@@ -1,0 +1,84 @@
+"""LoRA inference CLI (counterpart of reference scripts/inference_single_lora.py:39-82).
+
+Loads a base checkpoint, applies LoRA weights (merged into the base kernels —
+the reference's `merge_lora` path, mova_lora.py:190-268), then runs the same
+generation path as inference_single.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--base_model", type=str, required=True)
+    p.add_argument("--lora_path", type=str, required=True)
+    p.add_argument("--lora_alpha", type=float, default=None,
+                   help="override the alpha stored with the LoRA")
+    p.add_argument("--lora_scale", type=float, default=1.0)
+    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--negative_prompt", type=str, default="")
+    p.add_argument("--ref_path", type=str, required=True)
+    p.add_argument("--output", type=str, default="output_lora.mp4")
+    p.add_argument("--num_frames", type=int, default=193)
+    p.add_argument("--fps", type=float, default=24.0)
+    p.add_argument("--height", type=int, default=352)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--cfg_scale", type=float, default=5.0)
+    p.add_argument("--sigma_shift", type=float, default=5.0)
+    p.add_argument("--cp_size", type=int, default=1)
+    p.add_argument("--fsdp_size", type=int, default=1)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from PIL import Image
+
+    from dualforce_tpu.convert.load_checkpoint import (
+        config_from_checkpoint,
+        load_pipeline_params,
+        load_tokenizer,
+    )
+    from dualforce_tpu.data.transforms import crop_and_resize, image_to_tensor
+    from dualforce_tpu.diffusion.pipeline import MOVAPipeline
+    from dualforce_tpu.engine.lora import load_lora, merge_pipeline_lora
+    from dualforce_tpu.parallel.mesh import create_mesh
+    from dualforce_tpu.parallel.sharding import shard_params
+    from dualforce_tpu.utils.av_io import save_video_with_audio
+
+    cfg = config_from_checkpoint(args.base_model)
+    params = load_pipeline_params(args.base_model, cfg)
+    lora, lcfg = load_lora(args.lora_path)
+    alpha = args.lora_alpha if args.lora_alpha is not None else lcfg["alpha"]
+    params = merge_pipeline_lora(params, lora, alpha=alpha, scale=args.lora_scale)
+    print(f"[info] merged LoRA (rank={lcfg['rank']}, alpha={alpha}, "
+          f"scale={args.lora_scale})")
+
+    if args.cp_size * args.fsdp_size > 1:
+        mesh = create_mesh(1, args.fsdp_size, args.cp_size)
+        params = shard_params(params, mesh)
+
+    pipe = MOVAPipeline(cfg, params, tokenizer=load_tokenizer(args.base_model))
+    image = crop_and_resize(Image.open(args.ref_path).convert("RGB"),
+                            args.height, args.width)
+    result = pipe(
+        prompt=args.prompt, image=image_to_tensor(image),
+        negative_prompt=args.negative_prompt, seed=args.seed,
+        height=args.height, width=args.width, num_frames=args.num_frames,
+        video_fps=args.fps, num_inference_steps=args.num_inference_steps,
+        sigma_shift=args.sigma_shift, cfg_scale=args.cfg_scale)
+    out = save_video_with_audio(args.output, result.video, result.audio,
+                                fps=result.fps, sample_rate=result.sample_rate)
+    print(f"[done] saved {out}")
+
+
+if __name__ == "__main__":
+    main()
