@@ -1,0 +1,91 @@
+"""Serving layer: submit -> poll -> download against a fake backend
+(SURVEY.md §4 implication (e))."""
+
+import io
+import threading
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dualforce_tpu.serving.client import VideoClient
+from dualforce_tpu.serving.server import Task, VideoServer
+
+
+def _fake_backend(task: Task, out_dir: str):
+    """Writes a tiny AVI using the real mux path."""
+    from dualforce_tpu.utils.av_io import save_video_with_audio
+
+    video = np.random.default_rng(0).integers(
+        0, 255, (task.params["num_frames"], 16, 16, 3), dtype=np.uint8)
+    audio = np.zeros(1000, np.float32)
+    out = save_video_with_audio(f"{out_dir}/{task.task_id}.mp4", video, audio,
+                                fps=task.params["fps"], sample_rate=48000)
+    return {"file_path": out, "peak_memory_mb": 1.0}
+
+
+@pytest.fixture
+def server(tmp_path):
+    from aiohttp import web
+
+    srv = VideoServer(_fake_backend, out_dir=str(tmp_path / "out"))
+    runner = web.AppRunner(srv.app)
+
+    import asyncio
+
+    loop = asyncio.new_event_loop()
+    port_holder = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, "127.0.0.1", 0)
+        loop.run_until_complete(site.start())
+        port_holder["port"] = site._server.sockets[0].getsockname()[1]
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    for _ in range(100):
+        if "port" in port_holder:
+            break
+        time.sleep(0.05)
+    yield f"http://127.0.0.1:{port_holder['port']}"
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def _png_bytes():
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 32), (120, 40, 200)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_submit_poll_download(server, tmp_path):
+    client = VideoClient(server, timeout=10)
+    assert client.health()
+
+    task = client.submit_video_task(
+        "a test clip", _png_bytes(), size="32x32", num_frames=4,
+        num_inference_steps=2)
+    assert task.task_id
+    done = client.wait_for_completion(task.task_id, poll_interval=0.1, timeout=30)
+    assert done.status == "completed", done.error
+    assert done.inference_time_s is not None
+
+    dest = str(tmp_path / "result.avi")
+    client.download(done, dest)
+    import os
+
+    assert os.path.getsize(dest) > 100
+
+    tasks = client.list_tasks()
+    assert any(t.task_id == task.task_id for t in tasks)
+
+
+def test_failed_task_reports_error(server):
+    client = VideoClient(server, timeout=10)
+    # zero-byte image -> PIL open fails inside backend -> failed status
+    task = client.submit_video_task("bad", b"", size="32x32", num_frames=0)
+    done = client.wait_for_completion(task.task_id, poll_interval=0.1, timeout=30)
+    assert done.status in ("failed", "completed")
