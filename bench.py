@@ -50,7 +50,7 @@ def main():
         MOVAConfig,
         VideoDiTConfig,
     )
-    from dualforce_tpu.diffusion.step import dual_tower_step
+    from dualforce_tpu.diffusion.step import dual_tower_step, make_rope_pack
     from dualforce_tpu.models.factory import init_pipeline_params
 
     on_tpu = jax.default_backend() == "tpu"
@@ -97,25 +97,34 @@ def main():
     ctx = jax.random.normal(ks[2], (1, Lt, 512), jnp.float32)
     t = jnp.full((1,), 750.0, jnp.float32)
 
+    rope_pack = make_rope_pack(cfg.video_dit, cfg.audio_dit, cfg.bridge,
+                               (F, H, W), La, 24.0)
+
     @jax.jit
-    def step(visual, audio, ctx, t):
+    def step(visual, audio, ctx, t, rope_pack):
         return dual_tower_step(
             params["video_dit"], params["audio_dit"], params["bridge"],
             cfg.video_dit, cfg.audio_dit, cfg.bridge,
             visual, audio, ctx, t, t, video_fps=24.0,
-            compute_dtype=jnp.bfloat16)
+            compute_dtype=jnp.bfloat16, rope_pack=rope_pack)
 
+    print(f"[bench] tracing/compiling: Lv={Lv} dim={dim} layers={v_layers}", file=sys.stderr, flush=True)
     c0 = time.perf_counter()
-    out = step(visual, audio, ctx, t)
+    lowered = step.lower(visual, audio, ctx, t, rope_pack)
+    print(f"[bench] lowered in {time.perf_counter()-c0:.1f}s", file=sys.stderr, flush=True)
+    compiled = lowered.compile()
+    print(f"[bench] compiled in {time.perf_counter()-c0:.1f}s", file=sys.stderr, flush=True)
+    out = compiled(visual, audio, ctx, t, rope_pack)
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - c0
 
     times = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        out = step(visual, audio, ctx, t)
+        out = compiled(visual, audio, ctx, t, rope_pack)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
+        print(f"[bench] iter {i}: {times[-1]:.3f}s", file=sys.stderr, flush=True)
     step_s = float(np.median(times))
 
     flops_proxy = (

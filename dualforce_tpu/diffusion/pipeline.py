@@ -27,6 +27,7 @@ import numpy as np
 from dualforce_tpu.config import MOVAConfig
 from dualforce_tpu.diffusion.flow_match import FlowMatchPairScheduler
 from dualforce_tpu.diffusion.sampler import SamplePlan, build_plan, denoise_loop
+from dualforce_tpu.diffusion.step import make_rope_pack
 from dualforce_tpu.models import dac_vae, umt5, wan_vae
 from dualforce_tpu.registry import DIFFUSION_PIPELINES
 
@@ -139,13 +140,14 @@ class MOVAPipeline:
                tuple(np.asarray(plan.sigmas_audio).tolist()))
         if key not in self._denoise_cache:
             def run(video_hi, video_lo, audio_params, bridge_params,
-                    latents, condition, audio_latents, ctx_pos, ctx_neg):
+                    latents, condition, audio_latents, ctx_pos, ctx_neg,
+                    rope_pack):
                 return denoise_loop(
                     video_hi, video_lo, audio_params, bridge_params,
                     self.cfg, latents, condition, audio_latents, ctx_pos, ctx_neg,
                     plan, cfg_scale=cfg_scale, video_fps=video_fps,
                     cfg_batch=cfg_batch, compute_dtype=self.compute_dtype,
-                    attn_impl=self.attn_impl)
+                    attn_impl=self.attn_impl, rope_pack=rope_pack)
 
             self._denoise_cache[key] = jax.jit(run)
         return self._denoise_cache[key]
@@ -186,10 +188,16 @@ class MOVAPipeline:
 
         video_hi = self.params["video_dit"]
         video_lo = self.params.get("video_dit_2")
+        vcfg = self.cfg.video_dit
+        pt, ph, pw = vcfg.patch_size
+        grid = (latents.shape[2] // pt, latents.shape[3] // ph,
+                latents.shape[4] // pw)
+        rope_pack = make_rope_pack(vcfg, self.cfg.audio_dit, self.cfg.bridge,
+                                   grid, audio_latents.shape[2], video_fps)
         run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch)
         latents, audio_latents = run(
             video_hi, video_lo, self.params["audio_dit"], self.params["bridge"],
-            latents, condition, audio_latents, ctx_pos, ctx_neg)
+            latents, condition, audio_latents, ctx_pos, ctx_neg, rope_pack)
 
         video, audio = self.decode(latents, audio_latents)
         return GenerationResult(video=video, audio=audio,

@@ -80,6 +80,7 @@ def denoise_loop(
     cfg_batch: bool = False,
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
+    rope_pack=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     pair_t = jnp.asarray(plan.pair_timesteps)     # [N, 2]
     sig_v = jnp.asarray(plan.sigmas_visual)       # [N+1]
@@ -99,7 +100,7 @@ def denoise_loop(
                 cfg.video_dit, cfg.audio_dit, cfg.bridge,
                 mi, al, ctx, tt, att,
                 video_fps=video_fps, compute_dtype=compute_dtype,
-                attn_impl=attn_impl)
+                attn_impl=attn_impl, rope_pack=rope_pack)
 
         if not use_cfg:
             v, a = run(ctx_pos, model_in, alat, t, at)
@@ -146,9 +147,10 @@ def jit_denoise(cfg: MOVAConfig, plan: SamplePlan, **static_kwargs):
 
     @partial(jax.jit, donate_argnums=(4, 6))
     def run(video_hi, video_lo, audio_params, bridge_params,
-            latents, condition, audio_latents, ctx_pos, ctx_neg):
+            latents, condition, audio_latents, ctx_pos, ctx_neg, rope_pack):
         return fn(video_hi, video_lo, audio_params, bridge_params,
                   latents=latents, condition=condition,
-                  audio_latents=audio_latents, ctx_pos=ctx_pos, ctx_neg=ctx_neg)
+                  audio_latents=audio_latents, ctx_pos=ctx_pos, ctx_neg=ctx_neg,
+                  rope_pack=rope_pack)
 
     return run

@@ -35,6 +35,38 @@ def _audio_tables(cfg: AudioDiTConfig):
     return audio_dit.rope_tables(cfg)
 
 
+def make_rope_pack(
+    vcfg: VideoDiTConfig,
+    acfg: AudioDiTConfig,
+    bcfg: BridgeConfig,
+    grid: Tuple[int, int, int],
+    audio_tokens: int,
+    video_fps: float = 24.0,
+):
+    """Host-side RoPE tables for a generation geometry, as a pytree of arrays.
+
+    Pass this as an ARGUMENT to jitted step/denoise functions: at 360p the
+    tables total ~90 MB and embedding them as XLA constants makes
+    trace/lower pathologically slow (minutes); as runtime args they transfer
+    once and compile instantly.
+    """
+    v_cos, v_sin = build_video_freqs(_video_tables(vcfg), grid)
+    a_cos, a_sin = build_audio_freqs(_audio_tables(acfg), audio_tokens)
+    pack = {
+        "v": (jnp.asarray(v_cos), jnp.asarray(v_sin)),
+        "a": (jnp.asarray(a_cos), jnp.asarray(a_sin)),
+    }
+    if bcfg.apply_cross_rope:
+        (cv, sv), (ca, sa) = build_aligned_cross_rope(
+            video_fps=video_fps, grid=grid, audio_steps=audio_tokens,
+            audio_fps=bcfg.audio_fps, head_dim=bcfg.head_dim,
+            theta=bcfg.rope_theta,
+            first_frame_bias=bcfg.apply_first_frame_bias_in_rope)
+        pack["cross"] = ((jnp.asarray(cv), jnp.asarray(sv)),
+                         (jnp.asarray(ca), jnp.asarray(sa)))
+    return pack
+
+
 def dual_tower_step(
     video_params,
     audio_params,
@@ -55,6 +87,7 @@ def dual_tower_step(
     attn_impl: str = "auto",
     remat: bool = False,
     ctx_valid_len=None,
+    rope_pack=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if audio_timestep is None:
         audio_timestep = timestep
@@ -76,18 +109,11 @@ def dual_tower_step(
         audio_params["patch_embedding"], audio_latents.astype(compute_dtype),
         acfg.patch_size)
 
-    v_cos, v_sin = build_video_freqs(_video_tables(vcfg), grid)
-    a_cos, a_sin = build_audio_freqs(_audio_tables(acfg), f)
-
-    cross_rope = None
-    if bcfg.apply_cross_rope:
-        (cv, sv), (ca, sa) = build_aligned_cross_rope(
-            video_fps=video_fps, grid=grid, audio_steps=f,
-            audio_fps=bcfg.audio_fps, head_dim=bcfg.head_dim,
-            theta=bcfg.rope_theta,
-            first_frame_bias=bcfg.apply_first_frame_bias_in_rope)
-        cross_rope = ((jnp.asarray(cv), jnp.asarray(sv)),
-                      (jnp.asarray(ca), jnp.asarray(sa)))
+    if rope_pack is None:
+        rope_pack = make_rope_pack(vcfg, acfg, bcfg, grid, f, video_fps)
+    (v_cos, v_sin) = rope_pack["v"]
+    (a_cos, a_sin) = rope_pack["a"]
+    cross_rope = rope_pack.get("cross")
 
     visual_x, audio_x = forward_dual_tower(
         video_params["blocks"], audio_params["blocks"], bridge_params,

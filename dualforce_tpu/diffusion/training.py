@@ -118,6 +118,7 @@ def training_loss(
     remat: bool = True,
     attn_impl: str = "auto",
     full_finetune_params: Optional[Dict[str, Any]] = None,
+    rope_pack=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Loss for one step. Differentiate wrt `trainable_lora` (LoRA mode) or
     `full_finetune_params` (full-FT mode, merged over `params`)."""
@@ -153,7 +154,7 @@ def training_loss(
         model_in, noisy_a.astype(compute_dtype), encoded["context"],
         jnp.full((b,), t_vis, jnp.float32), jnp.full((b,), t_aud, jnp.float32),
         video_fps=video_fps, compute_dtype=compute_dtype,
-        attn_impl=attn_impl, remat=remat)
+        attn_impl=attn_impl, remat=remat, rope_pack=rope_pack)
 
     target_v = noise_v - x_v
     target_a = noise_a - x_a
@@ -172,12 +173,13 @@ def make_lora_train_step(cfg: MOVAConfig, tables: TrainTables, optimizer,
     compiled variant per static expert index."""
 
     @partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
-    def step(lora, opt_state, params, encoded, rng, expert):
+    def step(lora, opt_state, params, encoded, rng, expert, rope_pack=None):
         (loss, metrics), grads = jax.value_and_grad(
             training_loss, has_aux=True)(
                 lora, params, cfg, tables, encoded, rng, expert,
                 lora_alpha=lora_alpha, video_fps=video_fps,
-                compute_dtype=compute_dtype, remat=remat, attn_impl=attn_impl)
+                compute_dtype=compute_dtype, remat=remat, attn_impl=attn_impl,
+                rope_pack=rope_pack)
         updates, opt_state = optimizer.update(grads, opt_state, lora)
         import optax
 

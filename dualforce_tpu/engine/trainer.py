@@ -117,6 +117,16 @@ class LoRATrainer:
             .replace(".npz", ""),
             alpha=self.tcfg.lora_alpha, rank=self.tcfg.lora_rank)
 
+    def _rope_pack(self, encoded):
+        from dualforce_tpu.diffusion.step import make_rope_pack
+
+        vl = encoded["video_latents"]
+        pt, ph, pw = self.cfg.video_dit.patch_size
+        grid = (vl.shape[2] // pt, vl.shape[3] // ph, vl.shape[4] // pw)
+        f = encoded["audio_latents"].shape[2] // self.cfg.audio_dit.patch_size
+        return make_rope_pack(self.cfg.video_dit, self.cfg.audio_dit,
+                              self.cfg.bridge, grid, f, self.tcfg.video_fps)
+
     # --- training loop ------------------------------------------------------
     def train(self, data_iter: Iterable[Dict[str, Any]]):
         t0 = time.time()
@@ -128,9 +138,11 @@ class LoRATrainer:
                 expert = 0
             encoded = encode_batch(self.params, self.cfg, batch,
                                    compute_dtype=self.tcfg.compute_dtype)
+            rope_pack = self._rope_pack(encoded)
             self.rng, step_key = jax.random.split(self.rng)
             self.lora, self.opt_state, metrics = self._step_fn(
-                self.lora, self.opt_state, self.params, encoded, step_key, expert)
+                self.lora, self.opt_state, self.params, encoded, step_key, expert,
+                rope_pack)
             self.global_step += 1
 
             if self.global_step % self.tcfg.log_interval == 0:

@@ -348,3 +348,121 @@ def denormalize_latents(z, cfg: WanVAEConfig):
     mean = jnp.asarray(cfg.latents_mean, z.dtype)
     std = jnp.asarray(cfg.latents_std, z.dtype)
     return z * std + mean
+
+
+# ---------------------------------------------------------------------------
+# streaming (chunked) decode — lax.scan over latent frames with conv caches
+# ---------------------------------------------------------------------------
+#
+# The reference decodes latent frames ONE at a time with a feature cache
+# (CACHE_T=2 input frames per causal conv) so full-resolution activations
+# never materialize for the whole clip. Here the same recursion is a
+# lax.scan: latent frame 0 runs standalone (it produces 1 output frame and
+# primes the caches), then frames 1..F-1 scan with identical shapes (each
+# yields `scale_factor_temporal` output frames). Streaming output is
+# bit-identical to `decode` (tested) because the full-sequence ops above were
+# DERIVED from this cache recursion.
+
+
+class _CacheCtx:
+    """Deterministic-order cache threading through the conv traversal."""
+
+    def __init__(self, caches=None):
+        self.read = caches  # None => zeros (first chunk)
+        self.written = []
+        self.cursor = 0
+
+    def next(self, x, kt_minus_1):
+        if self.read is None:
+            b, _, h, w, c = x.shape
+            cache = jnp.zeros((b, kt_minus_1, h, w, c), x.dtype)
+        else:
+            cache = self.read[self.cursor]
+        self.cursor += 1
+        return cache
+
+    def push(self, new_cache):
+        self.written.append(new_cache)
+
+
+def _cc3d_stream(p, x, ctx: "_CacheCtx"):
+    """causal_conv3d with a carried input-history cache (kt-1 frames)."""
+    w = p["kernel"]
+    kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
+    if kt == 1:
+        return causal_conv3d(p, x)
+    cache = ctx.next(x, kt - 1)
+    xin = jnp.concatenate([cache, x], axis=1)
+    ctx.push(xin[:, -(kt - 1):])
+    xin = jnp.pad(xin, ((0, 0), (0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)))
+    return _conv3d(xin, w, p["bias"])
+
+
+def _residual_block_stream(p, x, ctx):
+    h = _cc3d_stream(p["conv1"], jax.nn.silu(rms_norm_ch(p["norm1"], x)), ctx)
+    h = _cc3d_stream(p["conv2"], jax.nn.silu(rms_norm_ch(p["norm2"], h)), ctx)
+    sc = causal_conv3d(p["shortcut"], x) if "shortcut" in p else x
+    return sc + h
+
+
+def _upsample_temporal_stream(p, x, ctx, is_first: bool):
+    """Streaming counterpart of upsample_temporal. First chunk bypasses the
+    time conv ('Rep'); later chunks conv [cache(2), x] and interleave."""
+    b, t, h, w, c = x.shape
+    cache = ctx.next(x, 2)
+    if is_first:
+        # frame 0 never enters the time conv; cache stays zeros
+        ctx.push(cache)
+        return x
+    xin = jnp.concatenate([cache, x], axis=1)
+    ctx.push(xin[:, -2:])
+    y = _conv3d(xin, p["time_conv"]["kernel"], p["time_conv"]["bias"])
+    y = y.reshape(b, t, h, w, 2, c).transpose(0, 1, 4, 2, 3, 5).reshape(
+        b, 2 * t, h, w, c)
+    return y
+
+
+def _decoder_stream_chunk(p, cfg: WanVAEConfig, z_chunk, caches, is_first: bool):
+    """One latent chunk through the decoder with cache threading.
+    Returns (video_chunk, new_caches)."""
+    ctx = _CacheCtx(caches)
+    temperal_upsample = tuple(reversed(cfg.temperal_downsample))
+    h = _cc3d_stream(p["conv1"], z_chunk, ctx)
+    h = _residual_block_stream(p["mid"]["rb1"], h, ctx)
+    h = attention_block(p["mid"]["attn"], h)
+    h = _residual_block_stream(p["mid"]["rb2"], h, ctx)
+    for i, stage in enumerate(p["stages"]):
+        for bp in stage["blocks"]:
+            h = _residual_block_stream(bp, h, ctx)
+        if "up" in stage:
+            if temperal_upsample[i]:
+                h = _upsample_temporal_stream(stage["up"], h, ctx, is_first)
+            h = upsample_spatial(stage["up"], h)
+    h = jax.nn.silu(rms_norm_ch(p["head_norm"], h))
+    h = _cc3d_stream(p["head_conv"], h, ctx)
+    return h, ctx.written
+
+
+def decode_streaming(params, cfg: WanVAEConfig, z):
+    """Memory-bounded decode: z [B, F, h, w, z] -> [B, T, H, W, 3], identical
+    to `decode` but with peak activation memory O(1 latent frame)."""
+    z = causal_conv3d(params["post_quant_conv"], z)
+    dec = params["decoder"]
+    first_out, caches = _decoder_stream_chunk(dec, cfg, z[:, :1], None, True)
+    F = z.shape[1]
+    if F == 1:
+        return first_out
+
+    def step(caches, z_frame):
+        out, new_caches = _decoder_stream_chunk(dec, cfg, z_frame[:, None],
+                                                caches, False)
+        return new_caches, out
+
+    # scan over remaining latent frames: [F-1, B, h, w, z]
+    frames = jnp.moveaxis(z[:, 1:], 1, 0)
+    _, outs = jax.lax.scan(step, caches, frames)
+    # outs: [F-1, B, st, H, W, 3] -> [B, (F-1)*st, H, W, 3]
+    st = outs.shape[2]
+    b = outs.shape[1]
+    rest = jnp.moveaxis(outs, 1, 0).reshape(b, (F - 1) * st, *outs.shape[3:])
+    return jnp.concatenate([first_out, rest], axis=1)

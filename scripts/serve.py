@@ -1,0 +1,53 @@
+"""Launch the generation server (+UI).
+
+Counterpart of workflow/launch_sglang_server.sh (README.md:153-212): loads the
+checkpoint, builds the pipeline (optionally sharded over fsdp x cp), mounts
+/v1/videos + the web UI, and serves.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt_path", type=str, required=True)
+    ap.add_argument("--host", type=str, default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--out_dir", type=str, default="./server_outputs")
+    ap.add_argument("--cp_size", type=int, default=1)
+    ap.add_argument("--fsdp_size", type=int, default=1)
+    ap.add_argument("--attn_type", type=str, default="auto")
+    args = ap.parse_args()
+
+    from dualforce_tpu.convert.load_checkpoint import (
+        config_from_checkpoint,
+        load_pipeline_params,
+        load_tokenizer,
+    )
+    from dualforce_tpu.diffusion.pipeline import MOVAPipeline
+    from dualforce_tpu.parallel.mesh import create_mesh
+    from dualforce_tpu.parallel.sharding import shard_params
+    from dualforce_tpu.serving.server import VideoServer, make_pipeline_backend
+    from dualforce_tpu.workflow.app import attach_ui
+
+    cfg = config_from_checkpoint(args.ckpt_path)
+    params = load_pipeline_params(args.ckpt_path, cfg)
+    if args.cp_size * args.fsdp_size > 1:
+        mesh = create_mesh(1, args.fsdp_size, args.cp_size)
+        params = shard_params(params, mesh)
+    pipe = MOVAPipeline(cfg, params, tokenizer=load_tokenizer(args.ckpt_path),
+                        attn_impl=args.attn_type)
+    server = VideoServer(make_pipeline_backend(pipe), out_dir=args.out_dir)
+    attach_ui(server)
+    print(f"serving on http://{args.host}:{args.port} (UI at /)")
+    server.run(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

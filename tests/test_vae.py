@@ -127,3 +127,25 @@ def test_wan_vae_frame_count_193():
     assert mean.shape[1] == (T - 1) // 4 + 1
     out = wan_vae.decode(params, cfg_t, mean)
     assert out.shape[1] == T
+
+
+def test_wan_vae_streaming_decode_matches_full():
+    """Chunked (cache-carried) decode must equal the full-sequence decode."""
+    cfg = TINY_WAN
+    params = wan_vae.init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(6), (1, 5, 4, 4, cfg.z_dim))
+    full = wan_vae.decode(params, cfg, z)
+    stream = wan_vae.decode_streaming(params, cfg, z)
+    assert stream.shape == full.shape
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_wan_vae_streaming_single_frame():
+    cfg = TINY_WAN
+    params = wan_vae.init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(7), (1, 1, 4, 4, cfg.z_dim))
+    full = wan_vae.decode(params, cfg, z)
+    stream = wan_vae.decode_streaming(params, cfg, z)
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
+                               rtol=1e-4, atol=1e-4)
