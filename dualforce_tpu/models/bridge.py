@@ -86,6 +86,63 @@ def layer_apply(a2v_p, v2a_p, visual_x, audio_x, visual_freqs, audio_freqs,
             audio_x + da * jnp.asarray(v2a_scale, audio_x.dtype))
 
 
+def cond_block_apply_dist(p, x, y_local, x_freqs, y_freqs_local, *,
+                          num_heads: int, eps: float, sp_axis: str):
+    """Sequence-parallel variant: Q side (`x`) replicated/full, K/V side
+    (`y_local`) sequence-sharded over `sp_axis`. Exact softmax via
+    LSE-weighted psum of per-rank partials — the bridge's v2a direction
+    (403 audio queries vs cp-sharded 43k video tokens) costs one tiny
+    all-reduce instead of gathering the video K/V (SURVEY.md §7.3.1)."""
+    from dualforce_tpu.parallel.ring_attention import lse_combine_cross_attention
+
+    b, sx, dim = x.shape
+    sy = y_local.shape[1]
+    d = dim // num_heads
+    y = nn.layer_norm(y_local, eps, p["y_norm"])
+    inner = p["inner"]
+    q = nn.rms_norm(nn.linear(inner["q"], x), inner["norm_q"], eps).reshape(b, sx, num_heads, d)
+    k = nn.rms_norm(nn.linear(inner["k"], y), inner["norm_k"], eps).reshape(b, sy, num_heads, d)
+    v = nn.linear(inner["v"], y).reshape(b, sy, num_heads, d)
+    if x_freqs is not None:
+        q = apply_rope_half(q, *x_freqs)
+    if y_freqs_local is not None:
+        k = apply_rope_half(k, *y_freqs_local)
+    out = lse_combine_cross_attention(q, k, v, sp_axis).reshape(b, sx, dim)
+    return nn.linear(inner["o"], out)
+
+
+def layer_apply_sp(a2v_p, v2a_p, visual_x, audio_x, visual_freqs_local,
+                   audio_freqs_full, cfg: BridgeConfig, sp_axis: str,
+                   a2v_scale=1.0, v2a_scale=1.0, attn_impl: str = "auto"):
+    """Bridge interaction under sequence parallelism.
+
+    visual_x / audio_x are cp-sharded token chunks. a2v gathers the (tiny)
+    audio side as full K/V and attends locally; v2a runs full-audio queries
+    against local video K/V with an exact LSE combine, then keeps the local
+    audio slice.
+    """
+    import jax
+    from jax import lax
+
+    v_heads = cfg.visual_hidden_dim // cfg.head_dim
+    a_heads = cfg.audio_hidden_dim // cfg.head_dim
+    la_local = audio_x.shape[1]
+
+    audio_full = lax.all_gather(audio_x, sp_axis, axis=1, tiled=True)
+
+    dv = cond_block_apply(a2v_p, visual_x, audio_full,
+                          visual_freqs_local, audio_freqs_full,
+                          num_heads=v_heads, eps=cfg.eps, attn_impl=attn_impl)
+    da_full = cond_block_apply_dist(v2a_p, audio_full, visual_x,
+                                    audio_freqs_full, visual_freqs_local,
+                                    num_heads=a_heads, eps=cfg.eps,
+                                    sp_axis=sp_axis)
+    idx = lax.axis_index(sp_axis)
+    da_local = lax.dynamic_slice_in_dim(da_full, idx * la_local, la_local, axis=1)
+    return (visual_x + dv * jnp.asarray(a2v_scale, visual_x.dtype),
+            audio_x + da_local * jnp.asarray(v2a_scale, audio_x.dtype))
+
+
 def resolve_condition_scale(params, cfg: BridgeConfig,
                             external_scale: Optional[float]) -> jnp.ndarray:
     """External scale wins over the trainable one (interactionv2.py:526-535)."""

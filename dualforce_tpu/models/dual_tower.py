@@ -49,6 +49,7 @@ def forward_dual_tower(
     attn_impl: str = "auto",
     remat: bool = False,
     ctx_valid_len=None,
+    sp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     min_layers = bcfg.min_layers
     interact = bcfg.interaction_layers()
@@ -64,16 +65,33 @@ def forward_dual_tower(
         bridge_params, bcfg,
         v2a_condition_scale if v2a_condition_scale is not None else condition_scale)
 
+    self_impl = attn_impl
+    cross_impl = None
+    if sp_axis is not None:
+        from dualforce_tpu.parallel.ring_attention import ring_attention
+
+        def self_impl(q, k, v, kv_valid_len=None):  # noqa: F811 — SP override
+            return ring_attention(q, k, v, sp_axis)
+
+        cross_impl = attn_impl  # text context replicated -> local attention
+
     vblock = functools.partial(dit_block_apply, num_heads=vcfg.num_heads, eps=vcfg.eps,
-                               attn_impl=attn_impl, ctx_valid_len=ctx_valid_len)
+                               attn_impl=self_impl, ctx_valid_len=ctx_valid_len,
+                               cross_attn_impl=cross_impl)
     ablock = functools.partial(dit_block_apply, num_heads=acfg.num_heads, eps=acfg.eps,
-                               attn_impl=attn_impl, ctx_valid_len=ctx_valid_len)
+                               attn_impl=self_impl, ctx_valid_len=ctx_valid_len,
+                               cross_attn_impl=cross_impl)
 
     def shared_layer(vx, ax, a2v_p, v2a_p, vb_p, ab_p, do_interact: bool):
         if do_interact:
-            vx, ax = bridge_mod.layer_apply(
-                a2v_p, v2a_p, vx, ax, vis_freqs, aud_freqs, bcfg,
-                a2v_scale, v2a_scale, attn_impl)
+            if sp_axis is not None:
+                vx, ax = bridge_mod.layer_apply_sp(
+                    a2v_p, v2a_p, vx, ax, vis_freqs, aud_freqs, bcfg, sp_axis,
+                    a2v_scale, v2a_scale, attn_impl)
+            else:
+                vx, ax = bridge_mod.layer_apply(
+                    a2v_p, v2a_p, vx, ax, vis_freqs, aud_freqs, bcfg,
+                    a2v_scale, v2a_scale, attn_impl)
         vx = vblock(vb_p, vx, visual_ctx, visual_t_mod, visual_rope)
         ax = ablock(ab_p, ax, audio_ctx, audio_t_mod, audio_rope)
         return vx, ax

@@ -88,11 +88,16 @@ def dit_block_init(key, dim: int, ffn_dim: int, dtype=jnp.float32):
 
 
 def dit_block_apply(p, x, ctx, t_mod, rope, *, num_heads: int, eps: float,
-                    attn_impl: str = "auto", ctx_valid_len=None):
+                    attn_impl: str = "auto", ctx_valid_len=None,
+                    cross_attn_impl=None):
     """AdaLN-modulated block (wan_video_dit.py:275-291).
 
     t_mod: [B, 6, dim] in compute dtype; modulation param added then chunked.
+    `cross_attn_impl` lets sequence-parallel callers keep text cross-attention
+    LOCAL (context replicated) while self-attention runs on a ring.
     """
+    if cross_attn_impl is None:
+        cross_attn_impl = attn_impl if not callable(attn_impl) else "auto"
     mod = p["modulation"].astype(t_mod.dtype) + t_mod  # [B, 6, dim]
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
         mod[:, i][:, None, :] for i in range(6)
@@ -100,7 +105,8 @@ def dit_block_apply(p, x, ctx, t_mod, rope, *, num_heads: int, eps: float,
     h = nn.layer_norm(x, eps) * (1 + scale_msa) + shift_msa
     x = x + gate_msa * self_attention(p["self_attn"], h, rope, num_heads, eps, attn_impl)
     h = nn.layer_norm(x, eps, p["norm3"])
-    x = x + cross_attention(p["cross_attn"], h, ctx, num_heads, eps, attn_impl, ctx_valid_len)
+    x = x + cross_attention(p["cross_attn"], h, ctx, num_heads, eps,
+                            cross_attn_impl, ctx_valid_len)
     h = nn.layer_norm(x, eps) * (1 + scale_mlp) + shift_mlp
     x = x + gate_mlp * nn.linear(p["ffn"]["fc2"], nn.gelu_tanh(nn.linear(p["ffn"]["fc1"], h)))
     return x

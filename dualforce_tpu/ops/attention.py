@@ -53,12 +53,15 @@ def attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     kv_valid_len: Optional[jnp.ndarray] = None,
-    impl: str = "auto",
+    impl="auto",
 ) -> jnp.ndarray:
     """Fused attention. q/k/v: [B, S, N, D] (Sq may differ from Sk).
 
-    impl: "auto" | "pallas" | "ref".
+    impl: "auto" | "pallas" | "ref" | a callable (q, k, v, kv_valid_len) ->
+    out — the hook the sequence-parallel path uses to inject ring attention.
     """
+    if callable(impl):
+        return impl(q, k, v, kv_valid_len)
     if impl == "ref":
         return attention_ref(q, k, v, kv_valid_len)
     if impl == "auto" and (
