@@ -101,7 +101,9 @@ def main():
                                (F, H, W), La, 24.0)
 
     @jax.jit
-    def step(visual, audio, ctx, t, rope_pack):
+    def step(params, visual, audio, ctx, t, rope_pack):
+        # params as explicit args — closing over them would embed the whole
+        # model as HLO constants and stall compilation for minutes
         return dual_tower_step(
             params["video_dit"], params["audio_dit"], params["bridge"],
             cfg.video_dit, cfg.audio_dit, cfg.bridge,
@@ -110,19 +112,21 @@ def main():
 
     print(f"[bench] tracing/compiling: Lv={Lv} dim={dim} layers={v_layers}", file=sys.stderr, flush=True)
     c0 = time.perf_counter()
-    lowered = step.lower(visual, audio, ctx, t, rope_pack)
+    lowered = step.lower(params, visual, audio, ctx, t, rope_pack)
     print(f"[bench] lowered in {time.perf_counter()-c0:.1f}s", file=sys.stderr, flush=True)
     compiled = lowered.compile()
     print(f"[bench] compiled in {time.perf_counter()-c0:.1f}s", file=sys.stderr, flush=True)
-    out = compiled(visual, audio, ctx, t, rope_pack)
-    jax.block_until_ready(out)
+    out = compiled(params, visual, audio, ctx, t, rope_pack)
+    # axon's block_until_ready returns immediately; force a device->host
+    # fetch that depends on the whole computation
+    float(jnp.sum(out[0]).astype(jnp.float32))
     compile_s = time.perf_counter() - c0
 
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        out = compiled(visual, audio, ctx, t, rope_pack)
-        jax.block_until_ready(out)
+        out = compiled(params, visual, audio, ctx, t, rope_pack)
+        float(jnp.sum(out[0]).astype(jnp.float32))  # forces completion
         times.append(time.perf_counter() - t0)
         print(f"[bench] iter {i}: {times[-1]:.3f}s", file=sys.stderr, flush=True)
     step_s = float(np.median(times))

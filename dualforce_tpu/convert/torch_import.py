@@ -209,10 +209,22 @@ def convert_bridge(sd: StateDict, cfg: BridgeConfig) -> Dict:
     """DualTowerConditionalBridge state dict -> stacked bridge pytree."""
 
     def cond_block(prefix: str) -> Dict:
-        return {
+        p = {
             "y_norm": _ln(sd, f"{prefix}.y_norm"),
             "inner": _attn(sd, f"{prefix}.inner"),
         }
+        if f"{prefix}.per_frame_pooling.probe" in sd:
+            p["pool"] = {
+                "probe": _np(sd[f"{prefix}.per_frame_pooling.probe"]),
+                "in_proj": {
+                    "kernel": _np(sd[f"{prefix}.per_frame_pooling.attention.in_proj_weight"]).T,
+                    "bias": _np(sd[f"{prefix}.per_frame_pooling.attention.in_proj_bias"]),
+                },
+                "out_proj": _lin(sd, f"{prefix}.per_frame_pooling.attention.out_proj"),
+                "ln": _ln(sd, f"{prefix}.per_frame_pooling.layernorm"),
+            }
+            p["adaln"] = {"linear": _lin(sd, f"{prefix}.adaln.linear")}
+        return p
 
     layers = cfg.interaction_layers()
     params = {

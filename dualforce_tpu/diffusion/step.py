@@ -2,9 +2,9 @@
 pipeline_mova.py:500-609): fp32 time embeds -> per-tower text embeds ->
 patchify + RoPE -> interleaved dual-tower forward -> heads -> unpatchify.
 
-All RoPE/cross-RoPE tables depend only on static generation geometry, so they
-are computed host-side (numpy, float64) at trace time and baked into the XLA
-program as constants.
+All RoPE/cross-RoPE tables depend only on static generation geometry; build
+them once with `make_rope_pack` and pass as jit ARGUMENTS (embedding ~90 MB
+of tables as XLA constants makes lowering pathologically slow).
 """
 
 from __future__ import annotations
@@ -126,6 +126,7 @@ def dual_tower_step(
         a2v_condition_scale=a2v_condition_scale,
         v2a_condition_scale=v2a_condition_scale,
         attn_impl=attn_impl, remat=remat, ctx_valid_len=ctx_valid_len,
+        video_grid=grid,
     )
 
     visual_out = video_dit.head_apply(video_params["head"], visual_x, v_t, vcfg.eps)

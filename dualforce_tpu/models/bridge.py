@@ -26,19 +26,78 @@ from dualforce_tpu.ops import attention, apply_rope_half
 from dualforce_tpu.registry import MODELS
 
 
-def cond_block_init(key, dim: int, kv_dim: int, dtype=jnp.float32):
+def cond_block_init(key, dim: int, kv_dim: int, dtype=jnp.float32,
+                    pooled_adaln: bool = False, num_heads: int = 1):
     """ConditionalCrossAttentionBlock params (interactionv2.py:315-327)."""
-    k1, k2 = jax.random.split(key)
-    return {
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    p = {
         "y_norm": nn.layer_norm_init(kv_dim, dtype),
         "inner": attn_qkv_init(k2, dim, kv_dim, dtype),
     }
+    if pooled_adaln:
+        p["pool"] = {
+            "probe": (jax.random.normal(k3, (1, 1, kv_dim), jnp.float32) * 0.02
+                      ).astype(dtype),
+            "in_proj": nn.linear_init(k4, kv_dim, 3 * kv_dim, dtype),
+            "out_proj": nn.linear_init(k5, kv_dim, kv_dim, dtype),
+            "ln": nn.layer_norm_init(kv_dim, dtype),
+        }
+        p["adaln"] = {"linear": nn.linear_init(k1, kv_dim, 2 * dim, dtype)}
+    return p
+
+
+def per_frame_attention_pooling(p, y, grid, num_heads: int, eps: float):
+    """SigLIP-MAP-style probe pooling over H*W tokens per frame
+    (interactionv2.py:75-125): q = learnable probe, kv = frame tokens,
+    torch.nn.MultiheadAttention semantics (packed in_proj), then LayerNorm."""
+    b, L, d = y.shape
+    T, H, W = grid
+    S = H * W
+    hd = d // num_heads
+    yf = y.reshape(b * T, S, d)
+    wq, wk, wv = jnp.split(p["in_proj"]["kernel"], 3, axis=1)
+    bq, bk, bv = jnp.split(p["in_proj"]["bias"], 3)
+    probe = p["probe"].astype(y.dtype)
+    q = (probe @ wq + bq).reshape(1, 1, num_heads, hd)
+    k = (yf @ wk + bk).reshape(b * T, S, num_heads, hd)
+    v = (yf @ wv + bv).reshape(b * T, S, num_heads, hd)
+    logits = jnp.einsum("xqnd,bknd->bnqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * (hd ** -0.5)
+    probs = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bnqk,bknd->bqnd", probs,
+                   v.astype(jnp.float32)).astype(y.dtype)
+    o = o.reshape(b * T, 1, d)
+    pooled = nn.linear(p["out_proj"], o).reshape(b, T, d)
+    return nn.layer_norm(pooled, eps, p["ln"])
+
+
+def _interp_linear_time(x, target_len: int):
+    """F.interpolate(mode='linear', align_corners=False) along axis 1."""
+    if x.shape[1] == target_len:
+        return x
+    return jax.image.resize(x, (x.shape[0], target_len, x.shape[2]),
+                            method="linear")
+
+
+def pooled_adaln_condition(p, x, y, grid, num_heads: int, eps: float):
+    """AdaLN of x by per-frame-pooled y, time-interpolated to x's length
+    (interactionv2.py:329-350; AdaLayerNorm chunk_dim=2, norm eps 1e-5)."""
+    pooled = per_frame_attention_pooling(p["pool"], y, grid, num_heads, eps)
+    pooled = _interp_linear_time(pooled, x.shape[1])
+    temb = nn.linear(p["adaln"]["linear"], nn.silu(pooled))
+    scale, shift = jnp.split(temb, 2, axis=2)
+    return nn.layer_norm(x, 1e-5) * (1 + scale) + shift
 
 
 def cond_block_apply(p, x, y, x_freqs, y_freqs, *, num_heads: int, eps: float,
-                     attn_impl: str = "auto"):
+                     attn_impl: str = "auto", video_grid=None):
     """LayerNorm(y) -> cross-attn with per-side rotate-half RoPE
-    (interactionv2.py:227-251, 329-350)."""
+    (interactionv2.py:227-251, 329-350). When the block carries pooled-AdaLN
+    params, x is first conditioned on per-frame-pooled y."""
+    if "pool" in p:
+        if video_grid is None:
+            raise ValueError("pooled_adaln requires video_grid")
+        x = pooled_adaln_condition(p, x, y, video_grid, num_heads, eps)
     b, sx, dim = x.shape
     sy = y.shape[1]
     d = dim // num_heads
@@ -61,7 +120,10 @@ def init(key, cfg: BridgeConfig, dtype=jnp.float32):
     ka, kv = jax.random.split(key)
     a2v = [cond_block_init(k, cfg.visual_hidden_dim, cfg.audio_hidden_dim, dtype)
            for k in jax.random.split(ka, len(layers))]
-    v2a = [cond_block_init(k, cfg.audio_hidden_dim, cfg.visual_hidden_dim, dtype)
+    # v2a optionally carries pooled-AdaLN (interactionv2.py:412-418: a2v never does)
+    a_heads = cfg.audio_hidden_dim // cfg.head_dim
+    v2a = [cond_block_init(k, cfg.audio_hidden_dim, cfg.visual_hidden_dim, dtype,
+                           pooled_adaln=cfg.pooled_adaln, num_heads=a_heads)
            for k in jax.random.split(kv, len(layers))]
     params = {"a2v": nn.stack_params(a2v) if a2v else {},
               "v2a": nn.stack_params(v2a) if v2a else {}}
@@ -72,7 +134,7 @@ def init(key, cfg: BridgeConfig, dtype=jnp.float32):
 
 def layer_apply(a2v_p, v2a_p, visual_x, audio_x, visual_freqs, audio_freqs,
                 cfg: BridgeConfig, a2v_scale=1.0, v2a_scale=1.0,
-                attn_impl: str = "auto"):
+                attn_impl: str = "auto", video_grid=None):
     """One bridge interaction: BOTH directions read the pre-interaction hidden
     states (interactionv2.py:539-593). Per-direction condition scales override
     the global one upstream (resolve in the caller)."""
@@ -81,7 +143,8 @@ def layer_apply(a2v_p, v2a_p, visual_x, audio_x, visual_freqs, audio_freqs,
     dv = cond_block_apply(a2v_p, visual_x, audio_x, visual_freqs, audio_freqs,
                           num_heads=v_heads, eps=cfg.eps, attn_impl=attn_impl)
     da = cond_block_apply(v2a_p, audio_x, visual_x, audio_freqs, visual_freqs,
-                          num_heads=a_heads, eps=cfg.eps, attn_impl=attn_impl)
+                          num_heads=a_heads, eps=cfg.eps, attn_impl=attn_impl,
+                          video_grid=video_grid)
     return (visual_x + dv * jnp.asarray(a2v_scale, visual_x.dtype),
             audio_x + da * jnp.asarray(v2a_scale, audio_x.dtype))
 

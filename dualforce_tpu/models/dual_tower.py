@@ -50,6 +50,7 @@ def forward_dual_tower(
     remat: bool = False,
     ctx_valid_len=None,
     sp_axis: Optional[str] = None,
+    video_grid=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     min_layers = bcfg.min_layers
     interact = bcfg.interaction_layers()
@@ -85,13 +86,17 @@ def forward_dual_tower(
     def shared_layer(vx, ax, a2v_p, v2a_p, vb_p, ab_p, do_interact: bool):
         if do_interact:
             if sp_axis is not None:
+                if bcfg.pooled_adaln:
+                    raise NotImplementedError(
+                        "pooled_adaln under sequence parallelism: per-frame "
+                        "pooling needs frame-aligned shards (future work)")
                 vx, ax = bridge_mod.layer_apply_sp(
                     a2v_p, v2a_p, vx, ax, vis_freqs, aud_freqs, bcfg, sp_axis,
                     a2v_scale, v2a_scale, attn_impl)
             else:
                 vx, ax = bridge_mod.layer_apply(
                     a2v_p, v2a_p, vx, ax, vis_freqs, aud_freqs, bcfg,
-                    a2v_scale, v2a_scale, attn_impl)
+                    a2v_scale, v2a_scale, attn_impl, video_grid=video_grid)
         vx = vblock(vb_p, vx, visual_ctx, visual_t_mod, visual_rope)
         ax = ablock(ab_p, ax, audio_ctx, audio_t_mod, audio_rope)
         return vx, ax

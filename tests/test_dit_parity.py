@@ -1,6 +1,7 @@
 """Numerical parity of the JAX towers/bridge vs the reference torch modules
 (CPU, fp32, tiny configs, converted weights)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -167,3 +168,48 @@ def test_dual_tower_step_parity(strategy):
 
     np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(), rtol=2e-3, atol=3e-4)
     np.testing.assert_allclose(np.asarray(got_a), want_a.numpy(), rtol=2e-3, atol=3e-4)
+
+
+def test_dual_tower_step_parity_pooled_adaln():
+    """pooled_adaln bridge variant (per-frame pooling + AdaLN on the v2a
+    query side, interactionv2.py:75-350)."""
+    import dataclasses
+
+    cfg = tiny_test_config(visual_layers=2, audio_layers=2)
+    bcfg = dataclasses.replace(cfg.bridge, pooled_adaln=True)
+    vcfg, acfg = cfg.video_dit, cfg.audio_dit
+    tv = _torch_video_model(vcfg)
+    ta = _torch_audio_model(acfg)
+    torch.manual_seed(3)
+    tb = ref_bridge.DualTowerConditionalBridge(
+        visual_layers=bcfg.visual_layers, audio_layers=bcfg.audio_layers,
+        visual_hidden_dim=bcfg.visual_hidden_dim,
+        audio_hidden_dim=bcfg.audio_hidden_dim, audio_fps=bcfg.audio_fps,
+        head_dim=bcfg.head_dim, interaction_strategy=bcfg.interaction_strategy,
+        apply_cross_rope=bcfg.apply_cross_rope, pooled_adaln=True,
+    ).eval()
+
+    vp = convert_video_dit(tv.state_dict(), vcfg)
+    ap = convert_audio_dit(ta.state_dict(), acfg)
+    bp = convert_bridge(tb.state_dict(), bcfg)
+    assert "pool" in jax.tree_util.tree_map(lambda x: x, bp["v2a"])  # pooled params present
+
+    rng = np.random.default_rng(11)
+    vis = rng.standard_normal((1, vcfg.in_dim, 3, 4, 4), dtype=np.float32)
+    aud = rng.standard_normal((1, acfg.in_dim, 13), dtype=np.float32)
+    ctx = rng.standard_normal((1, 16, vcfg.text_dim), dtype=np.float32)
+    t = np.array([400.0], np.float32)
+    at = np.array([420.0], np.float32)
+
+    with torch.no_grad():
+        want_v, want_a = _torch_dual_tower_step(
+            tv, ta, tb, torch.tensor(vis), torch.tensor(aud), torch.tensor(ctx),
+            torch.tensor(t), torch.tensor(at))
+
+    got_v, got_a = dual_tower_step(
+        vp, ap, bp, vcfg, acfg, bcfg,
+        jnp.asarray(vis), jnp.asarray(aud), jnp.asarray(ctx),
+        jnp.asarray(t), jnp.asarray(at),
+        compute_dtype=jnp.float32, attn_impl="ref")
+    np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(), rtol=2e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_a), want_a.numpy(), rtol=2e-3, atol=5e-4)
