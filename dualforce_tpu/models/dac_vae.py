@@ -230,3 +230,98 @@ def decode(params, cfg: DACVAEConfig, z):
     h = conv1d(params["post_quant_conv"], zf)
     wav = decoder_apply(params["decoder"], cfg, h)
     return wav.transpose(0, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# chunked streaming compress/decompress
+#
+# Replaces the reference's CodecMixin chunked `compress`/`decompress`
+# (dac_vae.py:68-312): long audio is processed in fixed windows with an
+# overlap exceeding the conv receptive field, so interior frames equal the
+# full-pass output. Fixed window shapes mean ONE XLA compile regardless of
+# clip length — the TPU-native analogue of the reference's delay/receptive-
+# field bookkeeping.
+# ---------------------------------------------------------------------------
+
+def encoder_receptive_frames(cfg: DACVAEConfig) -> int:
+    """One-sided encoder receptive field, in LATENT frames (ceil)."""
+    rf = 7  # conv_in k=7
+    rate = 1
+    for stride in cfg.encoder_rates:
+        rf += rate * 6 * (1 + 3 + 9)        # three residual units, k=7 dilated
+        rf += rate * (2 * stride - 1)        # strided down conv, k=2*stride
+        rate *= stride
+    rf += rate * 2  # conv_out k=3
+    return -(-rf // (2 * cfg.hop_length)) + 1
+
+
+def decoder_receptive_frames(cfg: DACVAEConfig) -> int:
+    """One-sided decoder receptive field, in latent frames (ceil).
+
+    Accumulated in output samples: each stage's kernels act at the sample
+    rate reached so far (hop shrinks by each upsampling stride)."""
+    rf_s = 7 * cfg.hop_length  # conv_in k=7 at latent rate
+    rate_s = cfg.hop_length
+    for stride in cfg.decoder_rates:
+        rate_s //= stride
+        rf_s += rate_s * (2 * stride - 1)     # transposed up conv, k=2*stride
+        rf_s += rate_s * 6 * (1 + 3 + 9)      # three residual units, k=7 dilated
+    rf_s += 6  # conv_out k=7 at sample rate
+    return -(-rf_s // (2 * cfg.hop_length)) + 1
+
+
+def compress(params, cfg: DACVAEConfig, audio: jnp.ndarray,
+             chunk_frames: int = 512, overlap_frames: int = 0):
+    """Chunked deterministic encode of long audio.
+
+    audio: [B, 1, S] -> latent means [B, D, T] with T = ceil(S / hop).
+    Interior frames match `encode_mode` exactly (overlap >= receptive field);
+    memory is bounded by the window size instead of the clip length.
+    """
+    ov = overlap_frames or encoder_receptive_frames(cfg)
+    hop = cfg.hop_length
+    audio = preprocess(audio, hop)
+    total_t = audio.shape[-1] // hop
+    win_t = chunk_frames + 2 * ov            # frames fed per window
+    if total_t <= win_t:
+        return encode_mode(params, cfg, audio)
+
+    # Clamped windows: edge windows butt against the true clip boundaries, so
+    # the per-layer zero padding there matches the full pass exactly; interior
+    # frames are >= ov (>= receptive field) from any window edge.
+    enc = jax.jit(lambda a: encode_mode(params, cfg, a))
+    n_win = -(-total_t // chunk_frames)
+    outs = []
+    for i in range(n_win):
+        start = min(max(i * chunk_frames - ov, 0), total_t - win_t)
+        off = i * chunk_frames - start        # in [0, 2*ov]
+        take = min(chunk_frames, total_t - i * chunk_frames)
+        z = enc(jax.lax.dynamic_slice_in_dim(audio, start * hop, win_t * hop, axis=-1))
+        outs.append(z[:, :, off:off + take])
+    return jnp.concatenate(outs, axis=-1)
+
+
+def decompress(params, cfg: DACVAEConfig, z: jnp.ndarray,
+               chunk_frames: int = 512, overlap_frames: int = 0):
+    """Chunked decode of long latent sequences. z: [B, D, T] -> [B, 1, T*hop].
+
+    Interior samples match `decode` exactly; peak memory is bounded by the
+    window size (the reference streams via CodecMixin.decompress the same way).
+    """
+    ov = overlap_frames or decoder_receptive_frames(cfg)
+    hop = cfg.hop_length
+    total_t = z.shape[-1]
+    win_t = chunk_frames + 2 * ov
+    if total_t <= win_t:
+        return decode(params, cfg, z)
+
+    dec = jax.jit(lambda zz: decode(params, cfg, zz))
+    n_win = -(-total_t // chunk_frames)
+    outs = []
+    for i in range(n_win):
+        start = min(max(i * chunk_frames - ov, 0), total_t - win_t)
+        off = i * chunk_frames - start
+        take = min(chunk_frames, total_t - i * chunk_frames)
+        wav = dec(jax.lax.dynamic_slice_in_dim(z, start, win_t, axis=-1))
+        outs.append(wav[:, :, off * hop:(off + take) * hop])
+    return jnp.concatenate(outs, axis=-1)

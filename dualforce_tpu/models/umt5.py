@@ -102,11 +102,14 @@ def _layer(p, x, bias, mask_add, cfg: UMT5Config, compute_dtype):
         logits = logits + mask_add
     probs = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, h * dk)
-    x = x + o @ p["attn"]["o"]["kernel"]
+    # keep the residual stream in compute dtype even over fp32 params
+    # (mixed-dtype matmuls promote, which would flip the scan carry dtype)
+    x = x + (o @ p["attn"]["o"]["kernel"]).astype(x.dtype)
 
     xn = _t5_ln(x, p["ln2"]["scale"], cfg.layer_norm_epsilon)
     gelu = jax.nn.gelu(xn @ p["mlp"]["wi_0"]["kernel"], approximate=True)
-    x = x + (gelu * (xn @ p["mlp"]["wi_1"]["kernel"])) @ p["mlp"]["wo"]["kernel"]
+    x = x + ((gelu * (xn @ p["mlp"]["wi_1"]["kernel"]))
+             @ p["mlp"]["wo"]["kernel"]).astype(x.dtype)
     return x
 
 

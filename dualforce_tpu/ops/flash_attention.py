@@ -16,6 +16,13 @@ online-softmax state (m, l, acc) lives in VMEM scratch across k iterations.
 Backward splits into a dq kernel (k minor) and a dkv kernel (q minor), with
 per-row logsumexp saved by the forward and delta = rowsum(dO*O) computed in
 XLA (cheap elementwise).
+
+VPU economy (the kernel is VPU-bound at ~1.3 transcendental + compare ops per
+score element, not MXU-bound): the softmax scale is folded into q together
+with log2(e) so the inner loop runs in exp2 units with zero per-element
+multiplies, and the kv mask is a precomputed additive bias ROW (one VPU add
+per score element instead of iota+compare+select, and no in-kernel branching,
+which Mosaic serializes).
 """
 
 from __future__ import annotations
@@ -30,27 +37,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 
 
 def _interpret() -> bool:
     """Run kernels in interpreter mode off-TPU (CPU tests)."""
     return jax.default_backend() != "tpu"
 
-DEFAULT_BQ = 512
-DEFAULT_BK = 512
+DEFAULT_BQ = 1024
+DEFAULT_BK = 1024
 
 
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _mask_bias(kv_valid_len, sk_p: int):
+    """[rows, 1, sk_p] additive bias: 0 for valid kv positions, NEG_INF
+    beyond. One row when the mask is uniform (pure block padding), B*N rows
+    when per-batch (serving with padded contexts). The middle singleton keeps
+    the (1, bk) block TPU-tileable for any row count."""
+    pos = jnp.arange(sk_p, dtype=jnp.int32)
+    bias = jnp.where(pos[None, :] < kv_valid_len.reshape(-1, 1), 0.0, NEG_INF)
+    return bias.astype(jnp.float32)[:, None, :]
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(vlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref, *, scale: float, bq: int, bk: int,
-                masked: bool):
+def _fwd_kernel(*refs, bq: int, bk: int, masked: bool):
+    """q arrives PRE-SCALED by (d**-0.5 * log2e); softmax runs in exp2 units."""
+    if masked:
+        bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+        bias_ref = None
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -64,18 +87,20 @@ def _fwd_kernel(vlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     k = k_ref[0]  # [bk, d]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, bk]
-
+    )  # [bq, bk], log2 units
     if masked:
-        vlen = vlen_ref[pl.program_id(0), 0]
-        kpos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        s = jnp.where(kpos < vlen, s, NEG_INF)
+        s = s + bias_ref[0, 0]  # [bk] broadcast over rows
 
     m_prev = m_ref[:]  # [bq, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)  # [bq, bk]
+    # floor the running max: a fully-masked row would otherwise put m at
+    # NEG_INF, which cancels the mask bias inside exp2(s - m) and resurrects
+    # the masked scores. Real logits never reach -1e4, and exp2(x < -1e4)
+    # underflows to 0 anyway, so the floor only affects degenerate rows
+    # (these now produce exact zeros via the l==0 guard, not garbage).
+    m_new = jnp.maximum(jnp.maximum(m_prev, m_cur), -1e4)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)  # [bq, bk]
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_new
     pv = jax.lax.dot_general(
@@ -90,9 +115,9 @@ def _fwd_kernel(vlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
         if lse_ref is not None:
-            # TPU-legal layout: broadcast over a 128-lane trailing dim
-            lse_ref[0] = jnp.broadcast_to(m_ref[:] + jnp.log(l_safe),
-                                          lse_ref.shape[1:])
+            # natural-log LSE for the backward; TPU-legal 128-lane layout
+            lse = (m_ref[:] + jnp.log2(l_safe)) * LN2
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _fwd(q, k, v, kv_valid_len, bq: int, bk: int, save_lse: bool = True):
@@ -104,9 +129,14 @@ def _fwd(q, k, v, kv_valid_len, bq: int, bk: int, save_lse: bool = True):
     bk = min(bk, _ceil_to(sk, 128))
     sq_p, sk_p = _ceil_to(sq, bq), _ceil_to(sk, bk)
 
+    # fold softmax scale + exp2 conversion into q (saves 1 VPU op/score elt)
+    q = (q.astype(jnp.float32) * (d ** -0.5 * LOG2E)).astype(q.dtype)
+
     masked = kv_valid_len is not None or sk_p != sk
-    if kv_valid_len is None:
-        kv_valid_len = jnp.full((bn, 1), sk, jnp.int32)
+    per_batch = kv_valid_len is not None
+    bias = _mask_bias(
+        kv_valid_len if per_batch else jnp.full((1,), sk, jnp.int32),
+        sk_p) if masked else None
     if sq_p != sq:
         q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0)))
     if sk_p != sk:
@@ -114,13 +144,17 @@ def _fwd(q, k, v, kv_valid_len, bq: int, bk: int, save_lse: bool = True):
         v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
 
     grid = (bn, sq_p // bq, sk_p // bk)
-    scale = d ** -0.5
+
+    bias_specs = [pl.BlockSpec(
+        (1, 1, bk),
+        (lambda b, qi, ki: (b, 0, ki)) if per_batch else (lambda b, qi, ki: (0, 0, ki)),
+    )] if masked else []
+    bias_args = (bias,) if masked else ()
 
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, bq=bq, bk=bk, masked=masked),
+        functools.partial(_fwd_kernel, bq=bq, bk=bk, masked=masked),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+        in_specs=bias_specs + [
             pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),
@@ -149,7 +183,7 @@ def _fwd(q, k, v, kv_valid_len, bq: int, bk: int, save_lse: bool = True):
             transcendentals=bn * sq_p * sk_p,
         ),
         interpret=_interpret(),
-    )(kv_valid_len, q, k, v)
+    )(*bias_args, q, k, v)
     return out[:, :sq], (lse[:, :sq, 0] if save_lse else None)
 
 
@@ -157,8 +191,15 @@ def _fwd(q, k, v, kv_valid_len, bq: int, bk: int, save_lse: bool = True):
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(vlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, dq_acc, *, scale: float, bq: int, bk: int, masked: bool):
+def _bwd_dq_kernel(*refs, scale: float, bq: int, bk: int, masked: bool):
+    """q pre-scaled by scale*log2e; lse pre-scaled by log2e (exp2 units)."""
+    if masked:
+        (bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dq_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dq_acc) = refs
+        bias_ref = None
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -170,31 +211,34 @@ def _bwd_dq_kernel(vlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
     if masked:
-        vlen = vlen_ref[pl.program_id(0), 0]
-        kpos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        s = jnp.where(kpos < vlen, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0, :, :1])  # [bq, bk]
+        s = s + bias_ref[0, 0]
+    p = jnp.exp2(s - lse_ref[0, :, :1])  # [bq, bk] natural softmax probs
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
     ds = p * (dp - delta_ref[0, :, :1])  # [bq, bk] f32
     dq_acc[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
 
     @pl.when(ki == nk - 1)
     def _fin():
-        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+        dq_ref[0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(vlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float, bq: int,
-                    bk: int, masked: bool):
+def _bwd_dkv_kernel(*refs, bq: int, bk: int, masked: bool):
+    """q pre-scaled by scale*log2e; dk finalized with *ln2 to undo it."""
+    if masked:
+        (bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        bias_ref = None
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
-    ki = pl.program_id(1)
 
     @pl.when(qi == 0)
     def _init():
@@ -205,12 +249,10 @@ def _bwd_dkv_kernel(vlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]  # [bk, d]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, bk]
+    )  # [bq, bk]
     if masked:
-        vlen = vlen_ref[pl.program_id(0), 0]
-        kpos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        s = jnp.where(kpos < vlen, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0, :, :1])  # [bq, bk]
+        s = s + bias_ref[0, 0]
+    p = jnp.exp2(s - lse_ref[0, :, :1])  # [bq, bk]
     do = do_ref[0]  # [bq, d]
     dv_acc[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -221,11 +263,12 @@ def _bwd_dkv_kernel(vlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     ds = p * (dp - delta_ref[0, :, :1])
     dk_acc[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
 
     @pl.when(qi == nq - 1)
     def _fin():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        # q carried scale*log2e; dk wants plain scale — multiply by ln2
+        dk_ref[0] = (dk_acc[:] * LN2).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
@@ -238,13 +281,19 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [bn, sq]
 
+    scale = d ** -0.5
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    lse = lse * LOG2E  # exp2 units to pair with pre-scaled q
+
     masked = kv_valid_len is not None or sk_p != sk
-    if kv_valid_len is None:
-        kv_valid_len = jnp.full((bn, 1), sk, jnp.int32)
+    per_batch = kv_valid_len is not None
+    bias = _mask_bias(
+        kv_valid_len if per_batch else jnp.full((1,), sk, jnp.int32),
+        sk_p) if masked else None
     if sq_p != sq:
         pad = ((0, 0), (0, sq_p - sq), (0, 0))
         q, do = jnp.pad(q, pad), jnp.pad(do, pad)
-        # padded q rows: lse=0, delta=0, p=exp(-0)=1 — harmless for dq (rows
+        # padded q rows: lse=0, delta=0, p=exp2(-0)=1 — harmless for dq (rows
         # sliced off) but poisons dk/dv; force p≈0 by setting lse very high.
         lse = jnp.pad(lse, ((0, 0), (0, sq_p - sq)), constant_values=-NEG_INF)
         delta = jnp.pad(delta, ((0, 0), (0, sq_p - sq)))
@@ -256,15 +305,15 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
     lse = jnp.broadcast_to(lse[:, :, None], (bn, sq_p, 128))
     delta = jnp.broadcast_to(delta[:, :, None], (bn, sq_p, 128))
 
-    scale = d ** -0.5
-    common_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-    ]
+    bias_row = (lambda b: b) if per_batch else (lambda b: 0)
+    dq_bias_specs = [pl.BlockSpec((1, 1, bk), lambda b, qi, ki, _r=bias_row: (_r(b), 0, ki))] if masked else []
+    dkv_bias_specs = [pl.BlockSpec((1, 1, bk), lambda b, ki, qi, _r=bias_row: (_r(b), 0, ki))] if masked else []
+    bias_args = (bias,) if masked else ()
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, bq=bq, bk=bk, masked=masked),
         grid=(bn, sq_p // bq, sk_p // bk),
-        in_specs=common_specs + [
+        in_specs=dq_bias_specs + [
             pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),   # q
             pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),   # k
             pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),   # v
@@ -278,13 +327,18 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bn * sq_p * sk_p * d,
+            bytes_accessed=2 * bn * (2 * sq_p + 2 * sk_p) * d,
+            transcendentals=bn * sq_p * sk_p,
+        ),
         interpret=_interpret(),
-    )(kv_valid_len, q, k, v, do, lse, delta)
+    )(*bias_args, q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, bq=bq, bk=bk, masked=masked),
+        functools.partial(_bwd_dkv_kernel, bq=bq, bk=bk, masked=masked),
         grid=(bn, sk_p // bk, sq_p // bq),
-        in_specs=common_specs + [
+        in_specs=dkv_bias_specs + [
             pl.BlockSpec((1, bq, d), lambda b, ki, qi: (b, qi, 0)),   # q
             pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),   # k
             pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),   # v
@@ -307,8 +361,13 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bn * sq_p * sk_p * d,
+            bytes_accessed=2 * bn * (2 * sq_p + 2 * sk_p) * d,
+            transcendentals=bn * sq_p * sk_p,
+        ),
         interpret=_interpret(),
-    )(kv_valid_len, q, k, v, do, lse, delta)
+    )(*bias_args, q, k, v, do, lse, delta)
 
     return dq[:, :sq], dk[:, :sk], dv[:, :sk]
 

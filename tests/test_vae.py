@@ -63,6 +63,33 @@ def test_dac_padded_length():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
+def test_dac_chunked_compress_decompress_match_full():
+    """Chunked streaming (CodecMixin equivalent) == full pass on interior
+    and edges (window padding reproduces the full-pass boundary context)."""
+    cfg = TINY_DAC
+    key = jax.random.PRNGKey(0)
+    params = dac_vae.init(key, cfg)
+    hop = cfg.hop_length
+    audio = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 1, hop * 119 + 11), dtype=np.float32) * 0.3)
+
+    # receptive fields must make chunking kick in at this length
+    assert 16 + 2 * dac_vae.encoder_receptive_frames(cfg) < 120
+    assert 16 + 2 * dac_vae.decoder_receptive_frames(cfg) < 120
+
+    full = dac_vae.encode_mode(params, cfg, audio)
+    chunked = dac_vae.compress(params, cfg, audio, chunk_frames=16)
+    assert chunked.shape == full.shape
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               rtol=1e-4, atol=1e-5)
+
+    wav_full = dac_vae.decode(params, cfg, full)
+    wav_chunked = dac_vae.decompress(params, cfg, full, chunk_frames=16)
+    assert wav_chunked.shape == wav_full.shape
+    np.testing.assert_allclose(np.asarray(wav_chunked), np.asarray(wav_full),
+                               rtol=1e-4, atol=1e-5)
+
+
 # --- Wan video VAE (no oracle; structural + causality invariants) -----------
 
 TINY_WAN = WanVAEConfig(base_dim=8, z_dim=4, dim_mult=(1, 2, 2), num_res_blocks=1,
