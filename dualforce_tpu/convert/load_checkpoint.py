@@ -243,8 +243,11 @@ def _convert_wan_vae(sd: Dict[str, np.ndarray], cfg: WanVAEConfig) -> Dict:
 
 
 def load_pipeline_params(ckpt_dir: str, cfg: Optional[MOVAConfig] = None,
-                         dtype=None) -> Dict[str, Any]:
-    """Convert a full MOVA checkpoint directory to pipeline params."""
+                         dtype=None, to_device: bool = True) -> Dict[str, Any]:
+    """Convert a full MOVA checkpoint directory to pipeline params.
+
+    to_device=False keeps the trees as host numpy arrays (for the
+    component-offload pipeline mode, which stages modules to HBM on demand)."""
     import jax.numpy as jnp
 
     if cfg is None:
@@ -270,15 +273,24 @@ def load_pipeline_params(ckpt_dir: str, cfg: Optional[MOVAConfig] = None,
 
     import jax
 
+    import numpy as np
+
     from dualforce_tpu import nn as dnn
+
+    if to_device:
+        as_array = jnp.asarray
+    else:
+        # ml_dtypes gives numpy a native bfloat16; values stay host-resident
+        def as_array(x):
+            return np.asarray(x)
 
     # towers in compute dtype; VAEs stay fp32 (decode precision parity)
     for k in ("video_dit", "video_dit_2", "audio_dit", "bridge", "text_encoder"):
         if k in params:
             params[k] = dnn.cast_tree(
-                jax.tree.map(jnp.asarray, params[k]), dtype)
+                jax.tree.map(as_array, params[k]), dtype)
     for k in ("video_vae", "audio_vae"):
-        params[k] = jax.tree.map(jnp.asarray, params[k])
+        params[k] = jax.tree.map(as_array, params[k])
     return params
 
 

@@ -14,6 +14,7 @@ bucket so recompiles only happen per bucket.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import html
 import re
@@ -26,7 +27,8 @@ import numpy as np
 
 from dualforce_tpu.config import MOVAConfig
 from dualforce_tpu.diffusion.flow_match import FlowMatchPairScheduler
-from dualforce_tpu.diffusion.sampler import SamplePlan, build_plan, denoise_loop
+from dualforce_tpu.diffusion.sampler import (SamplePlan, build_plan,
+                                             denoise_loop, denoise_range)
 from dualforce_tpu.diffusion.step import make_rope_pack
 from dualforce_tpu.models import dac_vae, umt5, wan_vae
 from dualforce_tpu.registry import DIFFUSION_PIPELINES
@@ -63,25 +65,55 @@ class MOVAPipeline:
     """
 
     def __init__(self, cfg: MOVAConfig, params: Dict[str, Any], tokenizer=None,
-                 compute_dtype=jnp.bfloat16, attn_impl: str = "auto"):
+                 compute_dtype=jnp.bfloat16, attn_impl: str = "auto",
+                 offload: str = "none"):
+        """offload: "none" (weights HBM-resident, the TPU-native default) or
+        "component" — the escape hatch for chips whose HBM can't hold the
+        full pipeline (reference's enable_model_cpu_offload +
+        remove_video_dit, inference_single.py:81-97): params stay on host,
+        each module is staged to HBM for its phase and freed after, and the
+        two video experts are never device-resident simultaneously."""
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.compute_dtype = compute_dtype
         self.attn_impl = attn_impl
+        if offload not in ("none", "component"):
+            raise ValueError(f"unknown offload mode {offload!r}")
+        self.offload = offload
         self.scheduler = FlowMatchPairScheduler(cfg.scheduler)
         self._denoise_cache: Dict[Tuple, Any] = {}
 
+    # --- component offload staging -------------------------------------------
+    @contextlib.contextmanager
+    def _staged(self, *names: str):
+        """Yield a params view with `names` staged on device; in offload mode
+        the staged copies are freed on exit (host master copy untouched)."""
+        if self.offload == "none":
+            yield self.params
+            return
+        staged = {n: jax.device_put(self.params[n]) for n in names
+                  if self.params.get(n) is not None}
+        try:
+            yield {**self.params, **staged}
+        finally:
+            for tree in staged.values():
+                for leaf in jax.tree.leaves(tree):
+                    if hasattr(leaf, "delete"):
+                        leaf.delete()
+
     # --- text ---------------------------------------------------------------
-    def encode_prompt(self, prompts: List[str], max_len: int = 512) -> jnp.ndarray:
+    def encode_prompt(self, prompts: List[str], max_len: int = 512,
+                      params: Optional[Dict[str, Any]] = None) -> jnp.ndarray:
         """UMT5 embed + zero-pad to max_len (pipeline_mova.py:280-319)."""
+        params = params if params is not None else self.params
         prompts = [prompt_clean(p) for p in prompts]
         tok = self.tokenizer(
             prompts, padding="max_length", max_length=max_len, truncation=True,
             add_special_tokens=True, return_attention_mask=True, return_tensors="np",
         )
         ids, mask = tok["input_ids"], tok["attention_mask"]
-        emb = umt5.encode(self.params["text_encoder"], self.cfg.text_encoder,
+        emb = umt5.encode(params["text_encoder"], self.cfg.text_encoder,
                           jnp.asarray(ids), jnp.asarray(mask),
                           compute_dtype=self.compute_dtype)
         # zero out positions beyond each prompt's length (reference re-pads
@@ -94,9 +126,11 @@ class MOVAPipeline:
         first_frame: np.ndarray,   # [H, W, 3] float in [-1, 1]
         height: int, width: int, num_frames: int,
         key: jax.Array,
+        params: Optional[Dict[str, Any]] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (noise latents [1,16,F,h,w], condition [1,20,F,h,w]) in the
         reference's channel-first layout (pipeline_mova.py:190-259)."""
+        params = params if params is not None else self.params
         vcfg = self.cfg.video_vae
         st, ss = vcfg.scale_factor_temporal, vcfg.scale_factor_spatial
         if height % (ss * 2) or width % (ss * 2):
@@ -111,7 +145,7 @@ class MOVAPipeline:
         # encode [first_frame, zeros...] deterministically (argmax mode)
         video_condition = np.zeros((1, num_frames, height, width, 3), np.float32)
         video_condition[0, 0] = first_frame
-        cond = wan_vae.encode_mode(self.params["video_vae"], vcfg,
+        cond = wan_vae.encode_mode(params["video_vae"], vcfg,
                                    jnp.asarray(video_condition))
         cond = wan_vae.normalize_latents(cond, vcfg)          # [1,F,lh,lw,16]
         cond = jnp.transpose(cond, (0, 4, 1, 2, 3)).astype(jnp.float32)
@@ -134,20 +168,34 @@ class MOVAPipeline:
 
     # --- denoise ------------------------------------------------------------
     def _get_denoise(self, plan: SamplePlan, cfg_scale: float, video_fps: float,
-                     cfg_batch: bool):
+                     cfg_batch: bool, phase: Optional[Tuple[int, int]] = None):
         key = (plan.num_steps, plan.boundary_step, cfg_scale, video_fps, cfg_batch,
+               phase,
                tuple(np.asarray(plan.sigmas_visual).tolist()),
                tuple(np.asarray(plan.sigmas_audio).tolist()))
         if key not in self._denoise_cache:
-            def run(video_hi, video_lo, audio_params, bridge_params,
-                    latents, condition, audio_latents, ctx_pos, ctx_neg,
-                    rope_pack):
-                return denoise_loop(
-                    video_hi, video_lo, audio_params, bridge_params,
-                    self.cfg, latents, condition, audio_latents, ctx_pos, ctx_neg,
-                    plan, cfg_scale=cfg_scale, video_fps=video_fps,
-                    cfg_batch=cfg_batch, compute_dtype=self.compute_dtype,
-                    attn_impl=self.attn_impl, rope_pack=rope_pack)
+            if phase is None:
+                def run(video_hi, video_lo, audio_params, bridge_params,
+                        latents, condition, audio_latents, ctx_pos, ctx_neg,
+                        rope_pack):
+                    return denoise_loop(
+                        video_hi, video_lo, audio_params, bridge_params,
+                        self.cfg, latents, condition, audio_latents, ctx_pos, ctx_neg,
+                        plan, cfg_scale=cfg_scale, video_fps=video_fps,
+                        cfg_batch=cfg_batch, compute_dtype=self.compute_dtype,
+                        attn_impl=self.attn_impl, rope_pack=rope_pack)
+            else:
+                start, stop = phase
+
+                def run(video_params, audio_params, bridge_params,
+                        latents, condition, audio_latents, ctx_pos, ctx_neg,
+                        rope_pack):
+                    return denoise_range(
+                        video_params, audio_params, bridge_params,
+                        self.cfg, latents, condition, audio_latents, ctx_pos, ctx_neg,
+                        plan, start, stop, cfg_scale=cfg_scale, video_fps=video_fps,
+                        cfg_batch=cfg_batch, compute_dtype=self.compute_dtype,
+                        attn_impl=self.attn_impl, rope_pack=rope_pack)
 
             self._denoise_cache[key] = jax.jit(run)
         return self._denoise_cache[key]
@@ -180,24 +228,46 @@ class MOVAPipeline:
 
         key = jax.random.PRNGKey(seed)
         k_lat, k_aud = jax.random.split(key)
-        latents, condition = self.prepare_latents(image, height, width, num_frames, k_lat)
+        with self._staged("video_vae") as p:
+            latents, condition = self.prepare_latents(
+                image, height, width, num_frames, k_lat, params=p)
         audio_latents = self.prepare_audio_latents(num_frames, video_fps, k_aud)
 
-        ctx_pos = self.encode_prompt([prompt])
-        ctx_neg = self.encode_prompt([negative_prompt]) if cfg_scale != 1.0 else None
+        with self._staged("text_encoder") as p:
+            ctx_pos = self.encode_prompt([prompt], params=p)
+            ctx_neg = (self.encode_prompt([negative_prompt], params=p)
+                       if cfg_scale != 1.0 else None)
 
-        video_hi = self.params["video_dit"]
-        video_lo = self.params.get("video_dit_2")
         vcfg = self.cfg.video_dit
         pt, ph, pw = vcfg.patch_size
         grid = (latents.shape[2] // pt, latents.shape[3] // ph,
                 latents.shape[4] // pw)
         rope_pack = make_rope_pack(vcfg, self.cfg.audio_dit, self.cfg.bridge,
                                    grid, audio_latents.shape[2], video_fps)
-        run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch)
-        latents, audio_latents = run(
-            video_hi, video_lo, self.params["audio_dit"], self.params["bridge"],
-            latents, condition, audio_latents, ctx_pos, ctx_neg, rope_pack)
+
+        if self.offload == "none":
+            run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch)
+            latents, audio_latents = run(
+                self.params["video_dit"], self.params.get("video_dit_2"),
+                self.params["audio_dit"], self.params["bridge"],
+                latents, condition, audio_latents, ctx_pos, ctx_neg, rope_pack)
+        else:
+            # two expert phases as separate jitted programs; only the active
+            # 14B tower is HBM-resident (pipeline_mova.py:403-419 behavior)
+            n = plan.num_steps
+            split = plan.boundary_step if self.params.get("video_dit_2") is not None else n
+            phases = [("video_dit", 0, split), ("video_dit_2", split, n)]
+            with self._staged("audio_dit", "bridge") as shared:
+                for tower, start, stop in phases:
+                    if stop <= start:
+                        continue
+                    with self._staged(tower) as p:
+                        run = self._get_denoise(plan, cfg_scale, video_fps,
+                                                cfg_batch, phase=(start, stop))
+                        latents, audio_latents = run(
+                            p[tower], shared["audio_dit"], shared["bridge"],
+                            latents, condition, audio_latents, ctx_pos,
+                            ctx_neg, rope_pack)
 
         video, audio = self.decode(latents, audio_latents)
         return GenerationResult(video=video, audio=audio,
@@ -209,14 +279,16 @@ class MOVAPipeline:
         vcfg = self.cfg.video_vae
         z = jnp.transpose(latents, (0, 2, 3, 4, 1))        # channels-last
         z = wan_vae.denormalize_latents(z, vcfg)
-        video = wan_vae.decode(
-            jax.tree.map(lambda x: x.astype(self.compute_dtype), self.params["video_vae"])
-            if self.compute_dtype != jnp.float32 else self.params["video_vae"],
-            vcfg, z.astype(self.compute_dtype))            # bf16 decode (reference parity)
-        video = np.asarray(video[0].astype(jnp.float32))   # [T, H, W, 3] in [-1, 1]
+        with self._staged("video_vae") as p:
+            video = wan_vae.decode(
+                jax.tree.map(lambda x: x.astype(self.compute_dtype), p["video_vae"])
+                if self.compute_dtype != jnp.float32 else p["video_vae"],
+                vcfg, z.astype(self.compute_dtype))        # bf16 decode (reference parity)
+            video = np.asarray(video[0].astype(jnp.float32))   # [T, H, W, 3] in [-1, 1]
         video = ((np.clip(video, -1, 1) + 1) * 127.5).round().astype(np.uint8)
 
-        audio = dac_vae.decode(self.params["audio_vae"], self.cfg.audio_vae,
-                               audio_latents)              # fp32 decode
-        audio = np.asarray(audio[0, 0])
+        with self._staged("audio_vae") as p:
+            audio = dac_vae.decode(p["audio_vae"], self.cfg.audio_vae,
+                                   audio_latents)          # fp32 decode
+            audio = np.asarray(audio[0, 0])
         return video, audio

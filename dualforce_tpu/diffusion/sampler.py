@@ -63,6 +63,38 @@ def build_plan(
     )
 
 
+def denoise_range(
+    video_params,                # the ONE tower active in [start, stop)
+    audio_params,
+    bridge_params,
+    cfg: MOVAConfig,
+    latents: jnp.ndarray,        # [B, 16, F, H, W] fp32
+    condition: jnp.ndarray,      # [B, 20, F, H, W] (4 mask + 16 cond latents)
+    audio_latents: jnp.ndarray,  # [B, 128, T] fp32
+    ctx_pos: jnp.ndarray,        # [B, 512, text_dim]
+    ctx_neg: Optional[jnp.ndarray],
+    plan: SamplePlan,
+    start: int,
+    stop: int,
+    cfg_scale: float = 5.0,
+    video_fps: float = 24.0,
+    cfg_batch: bool = False,
+    compute_dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+    rope_pack=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Steps [start, stop) of the paired flow-match loop with a single video
+    expert. The component-offload path runs the two expert phases as separate
+    jitted calls so only one 14B tower is HBM-resident at a time (the
+    reference's `remove_video_dit` / offload behavior, pipeline_mova.py:403-419)."""
+    return denoise_loop(
+        video_params, None, audio_params, bridge_params, cfg, latents,
+        condition, audio_latents, ctx_pos, ctx_neg, plan,
+        cfg_scale=cfg_scale, video_fps=video_fps, cfg_batch=cfg_batch,
+        compute_dtype=compute_dtype, attn_impl=attn_impl, rope_pack=rope_pack,
+        _range=(start, stop))
+
+
 def denoise_loop(
     video_params_high,
     video_params_low,      # may be None (single-tower model)
@@ -81,6 +113,7 @@ def denoise_loop(
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     rope_pack=None,
+    _range: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     pair_t = jnp.asarray(plan.pair_timesteps)     # [N, 2]
     sig_v = jnp.asarray(plan.sigmas_visual)       # [N+1]
@@ -131,9 +164,14 @@ def denoise_loop(
 
         return body
 
+    carry = (latents, audio_latents)
+    if _range is not None:
+        start, stop = _range
+        if stop > start:
+            carry = jax.lax.fori_loop(start, stop, make_body(video_params_high), carry)
+        return carry
     n = plan.num_steps
     split = plan.boundary_step if video_params_low is not None else n
-    carry = (latents, audio_latents)
     if split > 0:
         carry = jax.lax.fori_loop(0, split, make_body(video_params_high), carry)
     if split < n:

@@ -67,22 +67,31 @@ def main():
     from dualforce_tpu.utils.av_io import save_video_with_audio
     from dualforce_tpu.utils.misc import device_timer, hbm_in_use_gb
 
-    if args.offload != "none":
-        print(f"[info] --offload {args.offload} ignored: weights stay "
-              "HBM-resident (sharded) on TPU")
+    # "cpu"/"group" map to component-wise staging: params stay on host, each
+    # module is staged to HBM for its phase, the two 14B experts never
+    # coexist on device (reference offload modes, inference_single.py:81-97)
+    offload = "component" if args.offload in ("cpu", "group", "component") else "none"
+    if args.offload == "group":
+        print("[info] --offload group: using component-wise staging "
+              "(layerwise streaming is subsumed by fsdp sharding on TPU)")
 
     cfg = config_from_checkpoint(args.ckpt_path)
-    params = load_pipeline_params(args.ckpt_path, cfg)
+    params = load_pipeline_params(args.ckpt_path, cfg,
+                                  to_device=(offload == "none"))
     tokenizer = load_tokenizer(args.ckpt_path)
 
     mesh = None
     if args.cp_size * args.fsdp_size > 1:
+        if offload != "none":
+            raise SystemExit("--offload is for single-chip runs; use "
+                             "--fsdp_size to shard weights across chips instead")
         mesh = create_mesh(1, args.fsdp_size, args.cp_size)
         params = shard_params(params, mesh)
         print(f"[info] mesh fsdp={args.fsdp_size} cp={args.cp_size}; "
               f"HBM in use: {hbm_in_use_gb():.1f} GB")
 
-    pipe = MOVAPipeline(cfg, params, tokenizer=tokenizer, attn_impl=args.attn_type)
+    pipe = MOVAPipeline(cfg, params, tokenizer=tokenizer, attn_impl=args.attn_type,
+                        offload=offload)
 
     image = Image.open(args.ref_path).convert("RGB")
     image = crop_and_resize(image, args.height, args.width)

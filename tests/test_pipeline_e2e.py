@@ -66,6 +66,28 @@ def test_generate_deterministic_and_cfg_batch_equivalent():
     assert np.mean(np.abs(r3.video.astype(int) - r1.video.astype(int))) < 1.0
 
 
+def test_component_offload_matches_resident():
+    """offload="component" (host-resident params, modules staged per phase,
+    experts never co-resident) must produce bit-identical output to the
+    HBM-resident path."""
+    cfg = tiny_test_config()
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+    host_params = jax.tree.map(np.asarray, params)
+    image = np.random.default_rng(2).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    kw = dict(seed=11, height=32, width=32, num_frames=5,
+              num_inference_steps=3, cfg_scale=5.0)
+
+    resident = MOVAPipeline(cfg, params, tokenizer=FakeTokenizer(),
+                            compute_dtype=jax.numpy.float32, attn_impl="ref")
+    offloaded = MOVAPipeline(cfg, host_params, tokenizer=FakeTokenizer(),
+                             compute_dtype=jax.numpy.float32, attn_impl="ref",
+                             offload="component")
+    r1 = resident("a cat", image, **kw)
+    r2 = offloaded("a cat", image, **kw)
+    np.testing.assert_array_equal(r1.video, r2.video)
+    np.testing.assert_array_equal(r1.audio, r2.audio)
+
+
 def test_plan_boundary_switch():
     cfg = tiny_test_config()
     sched = FlowMatchPairScheduler(cfg.scheduler)
