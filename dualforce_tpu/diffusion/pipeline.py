@@ -168,9 +168,10 @@ class MOVAPipeline:
 
     # --- denoise ------------------------------------------------------------
     def _get_denoise(self, plan: SamplePlan, cfg_scale: float, video_fps: float,
-                     cfg_batch: bool, phase: Optional[Tuple[int, int]] = None):
+                     cfg_batch: bool, phase: Optional[Tuple[int, int]] = None,
+                     cfg_cache_interval: int = 1):
         key = (plan.num_steps, plan.boundary_step, cfg_scale, video_fps, cfg_batch,
-               phase,
+               phase, cfg_cache_interval,
                tuple(np.asarray(plan.sigmas_visual).tolist()),
                tuple(np.asarray(plan.sigmas_audio).tolist()))
         if key not in self._denoise_cache:
@@ -183,7 +184,8 @@ class MOVAPipeline:
                         self.cfg, latents, condition, audio_latents, ctx_pos, ctx_neg,
                         plan, cfg_scale=cfg_scale, video_fps=video_fps,
                         cfg_batch=cfg_batch, compute_dtype=self.compute_dtype,
-                        attn_impl=self.attn_impl, rope_pack=rope_pack)
+                        attn_impl=self.attn_impl, rope_pack=rope_pack,
+                        cfg_cache_interval=cfg_cache_interval)
             else:
                 start, stop = phase
 
@@ -195,7 +197,8 @@ class MOVAPipeline:
                         self.cfg, latents, condition, audio_latents, ctx_pos, ctx_neg,
                         plan, start, stop, cfg_scale=cfg_scale, video_fps=video_fps,
                         cfg_batch=cfg_batch, compute_dtype=self.compute_dtype,
-                        attn_impl=self.attn_impl, rope_pack=rope_pack)
+                        attn_impl=self.attn_impl, rope_pack=rope_pack,
+                        cfg_cache_interval=cfg_cache_interval)
 
             self._denoise_cache[key] = jax.jit(run)
         return self._denoise_cache[key]
@@ -217,6 +220,7 @@ class MOVAPipeline:
         audio_shift: Optional[float] = None,
         cfg_scale: float = 5.0,
         cfg_batch: bool = False,
+        cfg_cache_interval: int = 1,
     ) -> GenerationResult:
         self.scheduler.set_timesteps(num_inference_steps, shift=sigma_shift)
         if visual_shift is not None or audio_shift is not None:
@@ -246,7 +250,8 @@ class MOVAPipeline:
                                    grid, audio_latents.shape[2], video_fps)
 
         if self.offload == "none":
-            run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch)
+            run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch,
+                                    cfg_cache_interval=cfg_cache_interval)
             latents, audio_latents = run(
                 self.params["video_dit"], self.params.get("video_dit_2"),
                 self.params["audio_dit"], self.params["bridge"],
@@ -263,7 +268,8 @@ class MOVAPipeline:
                         continue
                     with self._staged(tower) as p:
                         run = self._get_denoise(plan, cfg_scale, video_fps,
-                                                cfg_batch, phase=(start, stop))
+                                                cfg_batch, phase=(start, stop),
+                                                cfg_cache_interval=cfg_cache_interval)
                         latents, audio_latents = run(
                             p[tower], shared["audio_dit"], shared["bridge"],
                             latents, condition, audio_latents, ctx_pos,

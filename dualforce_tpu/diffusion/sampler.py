@@ -82,6 +82,7 @@ def denoise_range(
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     rope_pack=None,
+    cfg_cache_interval: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Steps [start, stop) of the paired flow-match loop with a single video
     expert. The component-offload path runs the two expert phases as separate
@@ -92,7 +93,7 @@ def denoise_range(
         condition, audio_latents, ctx_pos, ctx_neg, plan,
         cfg_scale=cfg_scale, video_fps=video_fps, cfg_batch=cfg_batch,
         compute_dtype=compute_dtype, attn_impl=attn_impl, rope_pack=rope_pack,
-        _range=(start, stop))
+        cfg_cache_interval=cfg_cache_interval, _range=(start, stop))
 
 
 def denoise_loop(
@@ -113,6 +114,7 @@ def denoise_loop(
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     rope_pack=None,
+    cfg_cache_interval: int = 1,
     _range: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     pair_t = jnp.asarray(plan.pair_timesteps)     # [N, 2]
@@ -120,63 +122,98 @@ def denoise_loop(
     sig_a = jnp.asarray(plan.sigmas_audio)
     use_cfg = (cfg_scale != 1.0) and (ctx_neg is not None)
     b = latents.shape[0]
+    cache_neg = use_cfg and cfg_cache_interval > 1
+    if cache_neg and cfg_batch:
+        raise ValueError("cfg_cache_interval > 1 requires cfg_batch=False "
+                         "(the cache replaces the second pass entirely)")
 
     if use_cfg and cfg_batch:
         ctx_both = jnp.concatenate([ctx_pos, ctx_neg], axis=0)
 
+    def run_tower(video_params, ctx, mi, al, tt, att):
+        return dual_tower_step(
+            video_params, audio_params, bridge_params,
+            cfg.video_dit, cfg.audio_dit, cfg.bridge,
+            mi, al, ctx, tt, att,
+            video_fps=video_fps, compute_dtype=compute_dtype,
+            attn_impl=attn_impl, rope_pack=rope_pack)
+
     def predict(video_params, lat, alat, t, at):
         model_in = jnp.concatenate([lat, condition], axis=1)
-
-        def run(ctx, mi, al, tt, att):
-            return dual_tower_step(
-                video_params, audio_params, bridge_params,
-                cfg.video_dit, cfg.audio_dit, cfg.bridge,
-                mi, al, ctx, tt, att,
-                video_fps=video_fps, compute_dtype=compute_dtype,
-                attn_impl=attn_impl, rope_pack=rope_pack)
-
         if not use_cfg:
-            v, a = run(ctx_pos, model_in, alat, t, at)
+            v, a = run_tower(video_params, ctx_pos, model_in, alat, t, at)
             return v.astype(jnp.float32), a.astype(jnp.float32)
         if cfg_batch:
             mi2 = jnp.concatenate([model_in, model_in], axis=0)
             al2 = jnp.concatenate([alat, alat], axis=0)
-            v, a = run(ctx_both, mi2, al2, jnp.tile(t, 2), jnp.tile(at, 2))
+            v, a = run_tower(video_params, ctx_both, mi2, al2,
+                             jnp.tile(t, 2), jnp.tile(at, 2))
             v_pos, v_neg = v[:b].astype(jnp.float32), v[b:].astype(jnp.float32)
             a_pos, a_neg = a[:b].astype(jnp.float32), a[b:].astype(jnp.float32)
         else:
-            v_pos, a_pos = run(ctx_pos, model_in, alat, t, at)
-            v_neg, a_neg = run(ctx_neg, model_in, alat, t, at)
+            v_pos, a_pos = run_tower(video_params, ctx_pos, model_in, alat, t, at)
+            v_neg, a_neg = run_tower(video_params, ctx_neg, model_in, alat, t, at)
             v_pos, a_pos = v_pos.astype(jnp.float32), a_pos.astype(jnp.float32)
             v_neg, a_neg = v_neg.astype(jnp.float32), a_neg.astype(jnp.float32)
         return (v_neg + cfg_scale * (v_pos - v_neg),
                 a_neg + cfg_scale * (a_pos - a_neg))
 
-    def make_body(video_params):
+    def predict_cached(video_params, lat, alat, t, at, i, phase_start,
+                       v_negc, a_negc):
+        """CFG with a cached negative pass: the unconditional prediction
+        varies smoothly along the trajectory, so recompute it only every
+        `cfg_cache_interval` steps and reuse in between — cuts per-step
+        compute toward 1 pass instead of 2 (serving accelerator; the
+        positive pass always runs)."""
+        model_in = jnp.concatenate([lat, condition], axis=1)
+        v_pos, a_pos = run_tower(video_params, ctx_pos, model_in, alat, t, at)
+        v_pos, a_pos = v_pos.astype(jnp.float32), a_pos.astype(jnp.float32)
+
+        refresh = jnp.logical_or(i % cfg_cache_interval == 0, i == phase_start)
+
+        def compute_neg(_):
+            v, a = run_tower(video_params, ctx_neg, model_in, alat, t, at)
+            return v.astype(jnp.float32), a.astype(jnp.float32)
+
+        v_neg, a_neg = jax.lax.cond(
+            refresh, compute_neg, lambda _: (v_negc, a_negc), None)
+        return (v_neg + cfg_scale * (v_pos - v_neg),
+                a_neg + cfg_scale * (a_pos - a_neg), v_neg, a_neg)
+
+    def make_body(video_params, phase_start):
         def body(i, carry):
-            lat, alat = carry
+            lat, alat, v_negc, a_negc = carry
             t = jnp.full((b,), pair_t[i, 0], jnp.float32)
             at = jnp.full((b,), pair_t[i, 1], jnp.float32)
-            v_pred, a_pred = predict(video_params, lat, alat, t, at)
+            if cache_neg:
+                v_pred, a_pred, v_negc, a_negc = predict_cached(
+                    video_params, lat, alat, t, at, i, phase_start,
+                    v_negc, a_negc)
+            else:
+                v_pred, a_pred = predict(video_params, lat, alat, t, at)
             lat = lat + v_pred * (sig_v[i + 1] - sig_v[i])
             alat = alat + a_pred * (sig_a[i + 1] - sig_a[i])
-            return lat, alat
+            return lat, alat, v_negc, a_negc
 
         return body
 
-    carry = (latents, audio_latents)
+    carry = (latents, audio_latents,
+             jnp.zeros_like(latents), jnp.zeros_like(audio_latents))
     if _range is not None:
         start, stop = _range
         if stop > start:
-            carry = jax.lax.fori_loop(start, stop, make_body(video_params_high), carry)
-        return carry
+            carry = jax.lax.fori_loop(start, stop,
+                                      make_body(video_params_high, start), carry)
+        return carry[0], carry[1]
     n = plan.num_steps
     split = plan.boundary_step if video_params_low is not None else n
     if split > 0:
-        carry = jax.lax.fori_loop(0, split, make_body(video_params_high), carry)
+        carry = jax.lax.fori_loop(0, split, make_body(video_params_high, 0), carry)
     if split < n:
-        carry = jax.lax.fori_loop(split, n, make_body(video_params_low), carry)
-    return carry
+        # the cached negative came from the OTHER expert; force a refresh
+        carry = jax.lax.fori_loop(split, n,
+                                  make_body(video_params_low, split), carry)
+    return carry[0], carry[1]
 
 
 def jit_denoise(cfg: MOVAConfig, plan: SamplePlan, **static_kwargs):

@@ -43,6 +43,9 @@ def parse_args():
                    help="accepted for reference-CLI parity; no-op on TPU")
     p.add_argument("--remove_video_dit", action="store_true",
                    help="free the high-noise tower after the boundary switch")
+    p.add_argument("--cfg_cache_interval", type=int, default=1,
+                   help="recompute the CFG negative pass every N steps and "
+                        "reuse it in between (serving accelerator; 1 = exact)")
     p.add_argument("--cfg_batch", action="store_true",
                    help="batch pos+neg CFG passes in one forward")
     return p.parse_args()
@@ -107,7 +110,8 @@ def main():
                 video_fps=args.fps, num_inference_steps=args.num_inference_steps,
                 sigma_shift=args.sigma_shift, visual_shift=args.visual_shift,
                 audio_shift=args.audio_shift, cfg_scale=args.cfg_scale,
-                cfg_batch=args.cfg_batch)
+                cfg_batch=args.cfg_batch,
+                cfg_cache_interval=args.cfg_cache_interval)
 
     out = save_video_with_audio(args.output, result.video, result.audio,
                                 fps=result.fps, sample_rate=result.sample_rate)

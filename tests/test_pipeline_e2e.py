@@ -88,6 +88,30 @@ def test_component_offload_matches_resident():
     np.testing.assert_array_equal(r1.audio, r2.audio)
 
 
+def test_cfg_cache_interval():
+    """interval=1 must be EXACT vs the baseline; interval=2 is the cached
+    approximation (finite, deterministic, refreshed at the expert boundary)."""
+    pipe = _build_pipeline()
+    image = np.random.default_rng(3).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    kw = dict(seed=5, height=32, width=32, num_frames=5,
+              num_inference_steps=4, cfg_scale=5.0)
+    base = pipe("hello", image, **kw)
+    exact = pipe("hello", image, cfg_cache_interval=1, **kw)
+    np.testing.assert_array_equal(base.video, exact.video)
+
+    cached = pipe("hello", image, cfg_cache_interval=2, **kw)
+    assert np.isfinite(cached.audio).all()
+    cached2 = pipe("hello", image, cfg_cache_interval=2, **kw)
+    np.testing.assert_array_equal(cached.video, cached2.video)
+    # the approximation must actually engage (output differs from exact)
+    assert not np.array_equal(cached.video, base.video)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pipe("hello", image, cfg_cache_interval=2, cfg_batch=True, **kw)
+
+
 def test_plan_boundary_switch():
     cfg = tiny_test_config()
     sched = FlowMatchPairScheduler(cfg.scheduler)
