@@ -28,7 +28,7 @@ which Mosaic serializes).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,18 @@ DEFAULT_BK = 1024
 
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _out_struct(shape, dtype, *operands):
+    """ShapeDtypeStruct with vma propagated from the operands — required when
+    the kernel runs inside shard_map (check_vma=True): outputs vary over the
+    union of the mesh axes the inputs vary over."""
+    try:
+        vma = frozenset().union(*(jax.typeof(x).vma for x in operands
+                                  if x is not None))
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    except (AttributeError, TypeError):
+        return jax.ShapeDtypeStruct(shape, dtype)
 
 
 def _mask_bias(kv_valid_len, sk_p: int):
@@ -165,8 +177,8 @@ def _fwd(q, k, v, kv_valid_len, bq: int, bk: int, save_lse: bool = True):
             if save_lse else None,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bn, sq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((bn, sq_p, 128), jnp.float32)
+            _out_struct((bn, sq_p, d), q.dtype, q, k, v),
+            _out_struct((bn, sq_p, 128), jnp.float32, q, k, v)
             if save_lse else None,
         ],
         scratch_shapes=[
@@ -272,7 +284,7 @@ def _bwd_dkv_kernel(*refs, bq: int, bk: int, masked: bool):
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
+def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int, dlse=None):
     bn, sq, d = q.shape
     sk = k.shape[1]
     bq = min(bq, _ceil_to(sq, 128))
@@ -280,6 +292,10 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
     sq_p, sk_p = _ceil_to(sq, bq), _ceil_to(sk, bk)
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [bn, sq]
+    if dlse is not None:
+        # LSE cotangent: d(lse_i)/d(s_ij) = p_ij, which folds into the same
+        # p*(dp - delta) expression as delta_eff = delta - dlse
+        delta = delta - dlse.astype(jnp.float32)
 
     scale = d ** -0.5
     q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
@@ -322,7 +338,7 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
             pl.BlockSpec((1, bq, 128), lambda b, qi, ki: (b, qi, 0)),  # delta
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((bn, sq_p, d), q.dtype),
+        out_shape=_out_struct((bn, sq_p, d), q.dtype, q, k, v, do),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -351,8 +367,8 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int):
             pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bn, sk_p, d), k.dtype),
-            jax.ShapeDtypeStruct((bn, sk_p, d), v.dtype),
+            _out_struct((bn, sk_p, d), k.dtype, q, k, v, do),
+            _out_struct((bn, sk_p, d), v.dtype, q, k, v, do),
         ],
         scratch_shapes=[
             pltpu.VMEM((bk, d), jnp.float32),
@@ -419,3 +435,47 @@ def flash_attention(
         vlen = jnp.repeat(kv_valid_len.astype(jnp.int32).reshape(b, 1), n, axis=0)
     o = _flash(qf, kf, vf, vlen, block_q, block_k)
     return o.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
+
+
+# --- (out, lse) variant for sequence-parallel combines -----------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_lse(q, k, v, bq, bk):
+    return _fwd(q, k, v, None, bq, bk, save_lse=True)
+
+
+def _flash_lse_fwd(q, k, v, bq, bk):
+    o, lse = _fwd(q, k, v, None, bq, bk, save_lse=True)
+    return (o, lse), (q, k, v, o, lse)
+
+
+def _flash_lse_bwd(bq, bk, res, cotangents):
+    q, k, v, o, lse = res
+    do, dlse = cotangents
+    dq, dk, dv = _bwd(q, k, v, o, lse, do.astype(q.dtype), None, bq, bk,
+                      dlse=dlse)
+    return dq, dk, dv
+
+
+_flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
+
+
+def flash_attention_with_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = DEFAULT_BQ,
+    block_k: int = DEFAULT_BK,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flash attention returning (out [B,Sq,N,D], lse [B,N,Sq]) with natural-
+    log LSE — the inner kernel for ring attention and LSE-combined
+    cross-attention (parallel/ring_attention.py). Differentiable in both
+    outputs (the lse cotangent folds into the backward's delta term)."""
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    qf = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    o, lse = _flash_lse(qf, kf, vf, block_q, block_k)
+    return (o.reshape(b, n, sq, d).transpose(0, 2, 1, 3),
+            lse.reshape(b, n, sq))

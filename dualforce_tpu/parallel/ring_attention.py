@@ -32,7 +32,7 @@ from dualforce_tpu.ops.attention import attention_ref
 
 
 def _inner_with_lse(q, k, v):
-    """Local attention returning (normalized_out, lse). q/k/v: [B, S, N, D]."""
+    """XLA local attention returning (normalized_out, lse). q/k/v: [B,S,N,D]."""
     d = q.shape[-1]
     qf = q.astype(jnp.float32) * (d ** -0.5)
     logits = jnp.einsum("bqnd,bknd->bnqk", qf, k.astype(jnp.float32))
@@ -44,9 +44,31 @@ def _inner_with_lse(q, k, v):
     return o.astype(q.dtype), lse
 
 
+def _inner_auto(q, k, v):
+    """Pallas flash kernel (with LSE) when on real TPU and the shape
+    qualifies for MXU tiling (head_dim % 128, non-trivial q length), XLA
+    attention otherwise — the per-shard analogue of ops.attention's dispatch.
+    (Off-TPU the kernel would run in the Pallas HLO interpreter, which
+    rejects vma-checked shard_map contexts — tests inject it explicitly.)"""
+    d = q.shape[-1]
+    if (jax.default_backend() == "tpu" and d % 128 == 0
+            and q.shape[1] >= 128 and k.shape[1] >= 128):
+        from dualforce_tpu.ops.flash_attention import flash_attention_with_lse
+
+        return flash_attention_with_lse(q, k, v)
+    return _inner_with_lse(q, k, v)
+
+
+def _inner_pallas(q, k, v):
+    """Unconditional Pallas inner (tests force this under interpret mode)."""
+    from dualforce_tpu.ops.flash_attention import flash_attention_with_lse
+
+    return flash_attention_with_lse(q, k, v, block_q=128, block_k=128)
+
+
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    axis_name: str,
-                   inner: Callable = _inner_with_lse) -> jnp.ndarray:
+                   inner: Callable = _inner_auto) -> jnp.ndarray:
     """Ring attention over a sharded sequence. q/k/v: [B, S_local, N, D]."""
     n_dev = lax.axis_size(axis_name)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
@@ -78,7 +100,7 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def lse_combine_cross_attention(q: jnp.ndarray, k_local: jnp.ndarray,
                                 v_local: jnp.ndarray, axis_name: str,
-                                inner: Callable = _inner_with_lse) -> jnp.ndarray:
+                                inner: Callable = _inner_auto) -> jnp.ndarray:
     """Cross-attention with replicated Q and sequence-sharded K/V; exact
     softmax via LSE-weighted all-reduce of per-rank partials."""
     o_i, lse_i = inner(q, k_local, v_local)          # o: [B,Sq,N,D]; lse: [B,N,Sq]
@@ -112,7 +134,9 @@ def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     qh, kh, vh = scatter_heads(q), scatter_heads(k), scatter_heads(v)
     if inner is None:
-        out = attention_ref(qh, kh, vh)
+        from dualforce_tpu.ops.attention import attention
+
+        out = attention(qh, kh, vh)   # Pallas flash / XLA ref dispatch
     else:
         out, _ = inner(qh, kh, vh)
     return gather_heads(out)

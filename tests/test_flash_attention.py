@@ -53,3 +53,44 @@ def test_backward_matches_reference(sq, sk):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4,
             err_msg=f"d{name} mismatch")
+
+
+def test_with_lse_values_and_grads():
+    """(out, lse) variant: lse matches an explicit logsumexp, and grads are
+    correct for a loss that uses BOTH outputs (lse cotangent folds into the
+    backward's delta term)."""
+    b, sq, sk, n, d = 1, 256, 300, 2, 128
+    q, k, v = _rand(10, (b, sq, n, d)), _rand(11, (b, sk, n, d)), _rand(12, (b, sk, n, d))
+    from dualforce_tpu.ops.flash_attention import flash_attention_with_lse
+
+    def ref_with_lse(q, k, v):
+        scale = d ** -0.5
+        logits = jnp.einsum("bqnd,bknd->bnqk",
+                            q.astype(jnp.float32) * scale, k.astype(jnp.float32))
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)   # [B, N, Sq]
+        o = jnp.einsum("bnqk,bknd->bqnd", jax.nn.softmax(logits, -1),
+                       v.astype(jnp.float32))
+        return o, lse
+
+    o, lse = flash_attention_with_lse(q, k, v, block_q=128, block_k=128)
+    o_r, lse_r = ref_with_lse(q, k, v)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_r), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_r), rtol=2e-5, atol=2e-5)
+
+    wo = _rand(13, o.shape)
+    wl = _rand(14, lse.shape)
+
+    def loss_flash(q, k, v):
+        o, lse = flash_attention_with_lse(q, k, v, block_q=128, block_k=128)
+        return jnp.sum(o * wo) + jnp.sum(jnp.tanh(lse) * wl)
+
+    def loss_ref(q, k, v):
+        o, lse = ref_with_lse(q, k, v)
+        return jnp.sum(o * wo) + jnp.sum(jnp.tanh(lse) * wl)
+
+    g_got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip(g_got, g_want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4,
+            err_msg=f"d{name} mismatch")
