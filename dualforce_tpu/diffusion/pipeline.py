@@ -203,6 +203,107 @@ class MOVAPipeline:
             self._denoise_cache[key] = jax.jit(run)
         return self._denoise_cache[key]
 
+    # --- batched generation (serving path) -----------------------------------
+    def generate(
+        self,
+        prompts: List[str],
+        images: List[np.ndarray],     # each [H, W, 3] in [-1, 1]
+        negative_prompts: Optional[List[str]] = None,
+        seeds: Optional[List[int]] = None,
+        height: int = 352,
+        width: int = 640,
+        num_frames: int = 193,
+        video_fps: float = 24.0,
+        num_inference_steps: int = 50,
+        sigma_shift: float = 5.0,
+        visual_shift: Optional[float] = None,
+        audio_shift: Optional[float] = None,
+        cfg_scale: float = 5.0,
+        cfg_batch: bool = False,
+        cfg_cache_interval: int = 1,
+    ) -> List[GenerationResult]:
+        """Batch of same-geometry requests through ONE denoise program — the
+        serving-side continuous-batching unit (the jitted sampler is batch-
+        polymorphic; per-request prompts, negatives and seeds differ freely).
+        """
+        bsz = len(prompts)
+        negative_prompts = negative_prompts or [""] * bsz
+        seeds = seeds or [42] * bsz
+
+        self.scheduler.set_timesteps(num_inference_steps, shift=sigma_shift)
+        if visual_shift is not None or audio_shift is not None:
+            self.scheduler.set_pair_postprocess_by_name(
+                "dual_sigma_shift",
+                visual_shift=visual_shift if visual_shift is not None else sigma_shift,
+                audio_shift=audio_shift if audio_shift is not None else sigma_shift)
+        plan = build_plan(self.scheduler, self.cfg.boundary_ratio)
+
+        lat_l, cond_l, alat_l = [], [], []
+        with self._staged("video_vae") as p:
+            for i in range(bsz):
+                k_lat, k_aud = jax.random.split(jax.random.PRNGKey(seeds[i]))
+                lat, cond = self.prepare_latents(images[i], height, width,
+                                                 num_frames, k_lat, params=p)
+                lat_l.append(lat)
+                cond_l.append(cond)
+                alat_l.append(self.prepare_audio_latents(num_frames, video_fps, k_aud))
+        latents = jnp.concatenate(lat_l, axis=0)
+        condition = jnp.concatenate(cond_l, axis=0)
+        audio_latents = jnp.concatenate(alat_l, axis=0)
+
+        with self._staged("text_encoder") as p:
+            ctx_pos = self.encode_prompt(prompts, params=p)
+            ctx_neg = (self.encode_prompt(negative_prompts, params=p)
+                       if cfg_scale != 1.0 else None)
+
+        latents, audio_latents = self._denoise(
+            plan, latents, condition, audio_latents, ctx_pos, ctx_neg,
+            cfg_scale, video_fps, cfg_batch, cfg_cache_interval)
+
+        results = []
+        for i in range(bsz):
+            video, audio = self.decode(latents[i:i + 1], audio_latents[i:i + 1])
+            results.append(GenerationResult(
+                video=video, audio=audio,
+                sample_rate=self.cfg.audio_vae.sample_rate, fps=video_fps))
+        return results
+
+    def _denoise(self, plan, latents, condition, audio_latents, ctx_pos,
+                 ctx_neg, cfg_scale, video_fps, cfg_batch, cfg_cache_interval):
+        vcfg = self.cfg.video_dit
+        pt, ph, pw = vcfg.patch_size
+        grid = (latents.shape[2] // pt, latents.shape[3] // ph,
+                latents.shape[4] // pw)
+        rope_pack = make_rope_pack(vcfg, self.cfg.audio_dit, self.cfg.bridge,
+                                   grid, audio_latents.shape[2], video_fps)
+
+        if self.offload == "none":
+            run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch,
+                                    cfg_cache_interval=cfg_cache_interval)
+            return run(
+                self.params["video_dit"], self.params.get("video_dit_2"),
+                self.params["audio_dit"], self.params["bridge"],
+                latents, condition, audio_latents, ctx_pos, ctx_neg, rope_pack)
+
+        # two expert phases as separate jitted programs; only the active
+        # 14B tower is HBM-resident (pipeline_mova.py:403-419 behavior)
+        n = plan.num_steps
+        split = plan.boundary_step if self.params.get("video_dit_2") is not None else n
+        phases = [("video_dit", 0, split), ("video_dit_2", split, n)]
+        with self._staged("audio_dit", "bridge") as shared:
+            for tower, start, stop in phases:
+                if stop <= start:
+                    continue
+                with self._staged(tower) as p:
+                    run = self._get_denoise(plan, cfg_scale, video_fps,
+                                            cfg_batch, phase=(start, stop),
+                                            cfg_cache_interval=cfg_cache_interval)
+                    latents, audio_latents = run(
+                        p[tower], shared["audio_dit"], shared["bridge"],
+                        latents, condition, audio_latents, ctx_pos,
+                        ctx_neg, rope_pack)
+        return latents, audio_latents
+
     # --- full generation ----------------------------------------------------
     def __call__(
         self,
@@ -222,63 +323,13 @@ class MOVAPipeline:
         cfg_batch: bool = False,
         cfg_cache_interval: int = 1,
     ) -> GenerationResult:
-        self.scheduler.set_timesteps(num_inference_steps, shift=sigma_shift)
-        if visual_shift is not None or audio_shift is not None:
-            self.scheduler.set_pair_postprocess_by_name(
-                "dual_sigma_shift",
-                visual_shift=visual_shift if visual_shift is not None else sigma_shift,
-                audio_shift=audio_shift if audio_shift is not None else sigma_shift)
-        plan = build_plan(self.scheduler, self.cfg.boundary_ratio)
-
-        key = jax.random.PRNGKey(seed)
-        k_lat, k_aud = jax.random.split(key)
-        with self._staged("video_vae") as p:
-            latents, condition = self.prepare_latents(
-                image, height, width, num_frames, k_lat, params=p)
-        audio_latents = self.prepare_audio_latents(num_frames, video_fps, k_aud)
-
-        with self._staged("text_encoder") as p:
-            ctx_pos = self.encode_prompt([prompt], params=p)
-            ctx_neg = (self.encode_prompt([negative_prompt], params=p)
-                       if cfg_scale != 1.0 else None)
-
-        vcfg = self.cfg.video_dit
-        pt, ph, pw = vcfg.patch_size
-        grid = (latents.shape[2] // pt, latents.shape[3] // ph,
-                latents.shape[4] // pw)
-        rope_pack = make_rope_pack(vcfg, self.cfg.audio_dit, self.cfg.bridge,
-                                   grid, audio_latents.shape[2], video_fps)
-
-        if self.offload == "none":
-            run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch,
-                                    cfg_cache_interval=cfg_cache_interval)
-            latents, audio_latents = run(
-                self.params["video_dit"], self.params.get("video_dit_2"),
-                self.params["audio_dit"], self.params["bridge"],
-                latents, condition, audio_latents, ctx_pos, ctx_neg, rope_pack)
-        else:
-            # two expert phases as separate jitted programs; only the active
-            # 14B tower is HBM-resident (pipeline_mova.py:403-419 behavior)
-            n = plan.num_steps
-            split = plan.boundary_step if self.params.get("video_dit_2") is not None else n
-            phases = [("video_dit", 0, split), ("video_dit_2", split, n)]
-            with self._staged("audio_dit", "bridge") as shared:
-                for tower, start, stop in phases:
-                    if stop <= start:
-                        continue
-                    with self._staged(tower) as p:
-                        run = self._get_denoise(plan, cfg_scale, video_fps,
-                                                cfg_batch, phase=(start, stop),
-                                                cfg_cache_interval=cfg_cache_interval)
-                        latents, audio_latents = run(
-                            p[tower], shared["audio_dit"], shared["bridge"],
-                            latents, condition, audio_latents, ctx_pos,
-                            ctx_neg, rope_pack)
-
-        video, audio = self.decode(latents, audio_latents)
-        return GenerationResult(video=video, audio=audio,
-                                sample_rate=self.cfg.audio_vae.sample_rate,
-                                fps=video_fps)
+        return self.generate(
+            [prompt], [image], negative_prompts=[negative_prompt], seeds=[seed],
+            height=height, width=width, num_frames=num_frames,
+            video_fps=video_fps, num_inference_steps=num_inference_steps,
+            sigma_shift=sigma_shift, visual_shift=visual_shift,
+            audio_shift=audio_shift, cfg_scale=cfg_scale, cfg_batch=cfg_batch,
+            cfg_cache_interval=cfg_cache_interval)[0]
 
     def decode(self, latents: jnp.ndarray, audio_latents: jnp.ndarray):
         """latents [1,16,F,h,w] -> uint8 video; audio latents -> waveform."""

@@ -92,36 +92,67 @@ class TaskStore:
 
 def make_pipeline_backend(pipe) -> Callable:
     """Wrap a MOVAPipeline into the backend callable used by the worker."""
+    batch = make_pipeline_batch_backend(pipe)
+
+    def backend(task: Task, out_dir: str) -> Dict[str, Any]:
+        return batch([task], out_dir)[0]
+
+    return backend
+
+
+def make_pipeline_batch_backend(pipe) -> Callable:
+    """Batched backend: same-geometry tasks run through ONE jitted denoise
+    program (MOVAPipeline.generate) — the continuous-batching unit for the
+    static-shape sampler (SURVEY.md §7.2 phase 8)."""
     from dualforce_tpu.data.transforms import crop_and_resize, image_to_tensor
     from dualforce_tpu.utils.av_io import save_video_with_audio
     from dualforce_tpu.utils.misc import hbm_stats
     from PIL import Image
 
-    def backend(task: Task, out_dir: str) -> Dict[str, Any]:
-        p = task.params
-        h, w = p["height"], p["width"]
-        image = Image.open(io.BytesIO(bytes.fromhex(p["image_hex"]))).convert("RGB")
-        image = crop_and_resize(image, h, w)
-        result = pipe(
-            prompt=task.prompt, image=image_to_tensor(image),
-            negative_prompt=p.get("negative_prompt", ""),
-            seed=p.get("seed", 42), height=h, width=w,
-            num_frames=p.get("num_frames", 193), video_fps=p.get("fps", 24.0),
-            num_inference_steps=p.get("num_inference_steps", 50),
-            cfg_scale=p.get("guidance_scale", 5.0))
-        out = save_video_with_audio(
-            os.path.join(out_dir, f"{task.task_id}.mp4"), result.video,
-            result.audio, fps=result.fps, sample_rate=result.sample_rate)
+    def batch_backend(tasks, out_dir: str):
+        p0 = tasks[0].params
+        h, w = p0["height"], p0["width"]
+        images = []
+        for t in tasks:
+            img = Image.open(io.BytesIO(bytes.fromhex(t.params["image_hex"]))).convert("RGB")
+            images.append(image_to_tensor(crop_and_resize(img, h, w)))
+        results = pipe.generate(
+            prompts=[t.prompt for t in tasks], images=images,
+            negative_prompts=[t.params.get("negative_prompt", "") for t in tasks],
+            seeds=[t.params.get("seed", 42) for t in tasks],
+            height=h, width=w, num_frames=p0.get("num_frames", 193),
+            video_fps=p0.get("fps", 24.0),
+            num_inference_steps=p0.get("num_inference_steps", 50),
+            cfg_scale=p0.get("guidance_scale", 5.0))
         peak = hbm_stats().get("peak_bytes_in_use", 0) / 1e6
-        return {"file_path": out, "peak_memory_mb": peak}
+        out = []
+        for t, r in zip(tasks, results):
+            path = save_video_with_audio(
+                os.path.join(out_dir, f"{t.task_id}.mp4"), r.video, r.audio,
+                fps=r.fps, sample_rate=r.sample_rate)
+            out.append({"file_path": path, "peak_memory_mb": peak})
+        return out
 
-    return backend
+    return batch_backend
+
+
+def _geom_key(task: Task):
+    """Tasks batch together only when every jit-static knob matches."""
+    p = task.params
+    return (p.get("height"), p.get("width"), p.get("num_frames"),
+            p.get("num_inference_steps"), p.get("guidance_scale"),
+            p.get("fps"))
 
 
 class VideoServer:
     def __init__(self, backend: Callable, out_dir: str = "./server_outputs",
-                 model_name: str = "dualforce-tpu/mova"):
+                 model_name: str = "dualforce-tpu/mova",
+                 batch_backend: Optional[Callable] = None,
+                 max_batch: int = 1, batch_window_s: float = 0.25):
         self.backend = backend
+        self.batch_backend = batch_backend
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_s
         self.store = TaskStore(out_dir)
         self.out_dir = out_dir
         self.model_name = model_name
@@ -139,26 +170,70 @@ class VideoServer:
         ])
 
     # --- worker -------------------------------------------------------------
+    def _next_group(self, pending):
+        """Pop the head task plus up to max_batch-1 same-geometry tasks."""
+        head = None
+        while pending and head is None:
+            head = self.store.get(pending.popleft())
+        if head is None:
+            return []
+        group = [head]
+        if self.batch_backend is not None and self.max_batch > 1:
+            key = _geom_key(head)
+            rest = []
+            while pending and len(group) < self.max_batch:
+                tid = pending.popleft()
+                t = self.store.get(tid)
+                if t is None:
+                    continue
+                if _geom_key(t) == key:
+                    group.append(t)
+                else:
+                    rest.append(tid)
+            pending.extendleft(reversed(rest))
+        return group
+
     def _run_worker(self):
+        import collections
+        from queue import Empty
+
+        pending = collections.deque()
         while True:
-            task_id = self.queue.get()
-            task = self.store.get(task_id)
-            if task is None:
+            if not pending:
+                pending.append(self.queue.get())   # block until work arrives
+            # short batching window: pick up tasks that arrive together
+            deadline = time.time() + self.batch_window_s
+            while self.max_batch > 1:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    break
+                try:
+                    pending.append(self.queue.get(timeout=timeout))
+                except Empty:
+                    break
+            group = self._next_group(pending)
+            if not group:
                 continue
-            self.store.update(task_id, status="running", progress=0.05)
+            for t in group:
+                self.store.update(t.task_id, status="running", progress=0.05)
             t0 = time.time()
             try:
-                result = self.backend(task, self.out_dir)
-                self.store.update(
-                    task_id, status="completed", progress=1.0,
-                    completed_at=time.time(),
-                    inference_time_s=time.time() - t0,
-                    file_path=result.get("file_path"),
-                    peak_memory_mb=result.get("peak_memory_mb"),
-                    download_url=f"/v1/videos/{task_id}/content")
-            except Exception as e:  # noqa: BLE001 — task-level failure isolation
+                if self.batch_backend is not None:
+                    results = self.batch_backend(group, self.out_dir)
+                else:
+                    results = [self.backend(t, self.out_dir) for t in group]
+                for t, result in zip(group, results):
+                    self.store.update(
+                        t.task_id, status="completed", progress=1.0,
+                        completed_at=time.time(),
+                        inference_time_s=time.time() - t0,
+                        file_path=result.get("file_path"),
+                        peak_memory_mb=result.get("peak_memory_mb"),
+                        download_url=f"/v1/videos/{t.task_id}/content")
+            except Exception as e:  # noqa: BLE001 — group-level failure isolation
                 traceback.print_exc()
-                self.store.update(task_id, status="failed", error=str(e))
+                for t in group:
+                    self.store.update(t.task_id, status="failed", error=str(e))
 
     # --- handlers -----------------------------------------------------------
     async def health(self, request):
@@ -180,18 +255,27 @@ class VideoServer:
             fields = dict(await request.post())
             image_bytes = b""
         size = fields.get("size", "640x352")
-        w, h = (int(x) for x in size.split("x"))
+        try:
+            w, h = (int(x) for x in size.split("x"))
+            num_frames = int(fields.get("num_frames", 193))
+            fps = float(fields.get("fps", 24.0))
+            seed = int(fields.get("seed", 42))
+            guidance = float(fields.get("guidance_scale", 5.0))
+            steps = int(fields.get("num_inference_steps", 50))
+        except (ValueError, TypeError) as e:
+            return web.json_response(
+                {"error": f"invalid request field: {e}"}, status=400)
         task = Task(
             task_id=uuid.uuid4().hex[:16],
             prompt=fields.get("prompt", ""),
             params={
                 "negative_prompt": fields.get("negative_prompt", ""),
                 "height": h, "width": w,
-                "num_frames": int(fields.get("num_frames", 193)),
-                "fps": float(fields.get("fps", 24.0)),
-                "seed": int(fields.get("seed", 42)),
-                "guidance_scale": float(fields.get("guidance_scale", 5.0)),
-                "num_inference_steps": int(fields.get("num_inference_steps", 50)),
+                "num_frames": num_frames,
+                "fps": fps,
+                "seed": seed,
+                "guidance_scale": guidance,
+                "num_inference_steps": steps,
                 "image_hex": image_bytes.hex(),
             })
         self.store.add(task)

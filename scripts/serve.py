@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--cp_size", type=int, default=1)
     ap.add_argument("--fsdp_size", type=int, default=1)
     ap.add_argument("--attn_type", type=str, default="auto")
+    ap.add_argument("--max_batch", type=int, default=1,
+                    help="batch same-geometry requests through one denoise "
+                         "program (continuous batching)")
     args = ap.parse_args()
 
     from dualforce_tpu.convert.load_checkpoint import (
@@ -33,7 +36,9 @@ def main():
     from dualforce_tpu.diffusion.pipeline import MOVAPipeline
     from dualforce_tpu.parallel.mesh import create_mesh
     from dualforce_tpu.parallel.sharding import shard_params
-    from dualforce_tpu.serving.server import VideoServer, make_pipeline_backend
+    from dualforce_tpu.serving.server import (VideoServer,
+                                              make_pipeline_backend,
+                                              make_pipeline_batch_backend)
     from dualforce_tpu.workflow.app import attach_ui
 
     cfg = config_from_checkpoint(args.ckpt_path)
@@ -43,7 +48,11 @@ def main():
         params = shard_params(params, mesh)
     pipe = MOVAPipeline(cfg, params, tokenizer=load_tokenizer(args.ckpt_path),
                         attn_impl=args.attn_type)
-    server = VideoServer(make_pipeline_backend(pipe), out_dir=args.out_dir)
+    server = VideoServer(
+        make_pipeline_backend(pipe), out_dir=args.out_dir,
+        batch_backend=(make_pipeline_batch_backend(pipe)
+                       if args.max_batch > 1 else None),
+        max_batch=args.max_batch)
     attach_ui(server)
     print(f"serving on http://{args.host}:{args.port} (UI at /)")
     server.run(args.host, args.port)

@@ -112,6 +112,26 @@ def test_cfg_cache_interval():
         pipe("hello", image, cfg_cache_interval=2, cfg_batch=True, **kw)
 
 
+def test_generate_batch_matches_singles():
+    """pipe.generate with a 2-request batch must match two single runs
+    (same seeds/prompts); this is the serving continuous-batching unit."""
+    pipe = _build_pipeline()
+    rng = np.random.default_rng(4)
+    img1 = rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    img2 = rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    kw = dict(height=32, width=32, num_frames=5, num_inference_steps=2,
+              cfg_scale=5.0)
+    r1 = pipe("a cat", img1, negative_prompt="blurry", seed=3, **kw)
+    r2 = pipe("a dog", img2, negative_prompt="noisy", seed=9, **kw)
+    batch = pipe.generate(["a cat", "a dog"], [img1, img2],
+                          negative_prompts=["blurry", "noisy"], seeds=[3, 9],
+                          **kw)
+    for single, batched in zip((r1, r2), batch):
+        np.testing.assert_allclose(batched.audio, single.audio, atol=1e-4)
+        assert np.mean(np.abs(batched.video.astype(int)
+                              - single.video.astype(int))) < 0.5
+
+
 def test_plan_boundary_switch():
     cfg = tiny_test_config()
     sched = FlowMatchPairScheduler(cfg.scheduler)

@@ -89,3 +89,62 @@ def test_failed_task_reports_error(server):
     task = client.submit_video_task("bad", b"", size="32x32", num_frames=0)
     done = client.wait_for_completion(task.task_id, poll_interval=0.1, timeout=30)
     assert done.status in ("failed", "completed")
+
+
+# --- batched serving ---------------------------------------------------------
+
+_BATCHES = []
+
+
+def _fake_batch_backend(tasks, out_dir: str):
+    _BATCHES.append(sorted(t.task_id for t in tasks))
+    return [_fake_backend(t, out_dir) for t in tasks]
+
+
+@pytest.fixture
+def batch_server(tmp_path):
+    from aiohttp import web
+    import asyncio
+
+    _BATCHES.clear()
+    srv = VideoServer(_fake_backend, out_dir=str(tmp_path / "out"),
+                      batch_backend=_fake_batch_backend, max_batch=3,
+                      batch_window_s=1.0)
+    runner = web.AppRunner(srv.app)
+    loop = asyncio.new_event_loop()
+    port_holder = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, "127.0.0.1", 0)
+        loop.run_until_complete(site.start())
+        port_holder["port"] = site._server.sockets[0].getsockname()[1]
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    for _ in range(100):
+        if "port" in port_holder:
+            break
+        time.sleep(0.05)
+    yield f"http://127.0.0.1:{port_holder['port']}"
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def test_same_geometry_tasks_batch_together(batch_server):
+    client = VideoClient(batch_server, timeout=10)
+    png = _png_bytes()
+    same = [client.submit_video_task(f"clip {i}", png, size="32x32",
+                                     num_frames=4, num_inference_steps=2)
+            for i in range(3)]
+    other = client.submit_video_task("odd one", png, size="64x32",
+                                     num_frames=8, num_inference_steps=2)
+    for t in same + [other]:
+        done = client.wait_for_completion(t.task_id, poll_interval=0.1, timeout=60)
+        assert done.status == "completed", done.error
+    sizes = sorted(len(b) for b in _BATCHES)
+    # the three same-geometry tasks formed one batch; the odd geometry ran alone
+    assert max(sizes) == 3, _BATCHES
+    odd_batches = [b for b in _BATCHES if other.task_id in b]
+    assert odd_batches and len(odd_batches[0]) == 1
