@@ -73,6 +73,24 @@ def config_from_checkpoint(ckpt_dir: str) -> MOVAConfig:
     b = mod("dual_tower_bridge")
     vv = mod("video_vae")
     av = mod("audio_vae")
+    # HF text_encoder config (optional — defaults are umt5-xxl); without this,
+    # any non-xxl text encoder would fail weight conversion
+    te_path = os.path.join(ckpt_dir, "text_encoder", "config.json")
+    te = {}
+    if os.path.exists(te_path):
+        with open(te_path) as f:
+            te = json.load(f)
+    text_encoder = UMT5Config(
+        vocab_size=te.get("vocab_size", 256384),
+        d_model=te.get("d_model", 4096),
+        d_kv=te.get("d_kv", 64),
+        d_ff=te.get("d_ff", 10240),
+        num_layers=te.get("num_layers", 24),
+        num_heads=te.get("num_heads", 64),
+        relative_attention_num_buckets=te.get("relative_attention_num_buckets", 32),
+        relative_attention_max_distance=te.get("relative_attention_max_distance", 128),
+        layer_norm_epsilon=te.get("layer_norm_epsilon", 1e-6),
+    )
 
     pipe_cfg = {}
     mi = os.path.join(ckpt_dir, "model_index.json")
@@ -86,7 +104,8 @@ def config_from_checkpoint(ckpt_dir: str) -> MOVAConfig:
             out_dim=v["out_dim"], text_dim=v.get("text_dim", 4096),
             freq_dim=v.get("freq_dim", 256), eps=v.get("eps", 1e-6),
             patch_size=tuple(v["patch_size"]), num_heads=v["num_heads"],
-            num_layers=v["num_layers"]),
+            num_layers=v["num_layers"],
+            rope_max_len=v.get("rope_max_len", 1024)),
         audio_dit=AudioDiTConfig(
             dim=a["dim"], in_dim=a["in_dim"], ffn_dim=a["ffn_dim"],
             out_dim=a["out_dim"], text_dim=a.get("text_dim", 4096),
@@ -94,7 +113,8 @@ def config_from_checkpoint(ckpt_dir: str) -> MOVAConfig:
             patch_size=(a["patch_size"][0] if isinstance(a["patch_size"], (list, tuple))
                         else a["patch_size"]),
             num_heads=a["num_heads"], num_layers=a["num_layers"],
-            vae_type=a.get("vae_type", "dac")),
+            vae_type=a.get("vae_type", "dac"),
+            rope_max_len=a.get("rope_max_len", 8192)),
         bridge=BridgeConfig(
             visual_layers=b.get("visual_layers", v["num_layers"]),
             audio_layers=b.get("audio_layers", a["num_layers"]),
@@ -123,6 +143,7 @@ def config_from_checkpoint(ckpt_dir: str) -> MOVAConfig:
             latent_dim=av.get("latent_dim", 128),
             sample_rate=av.get("sample_rate", 48000),
             continuous=av.get("continuous", True)),
+        text_encoder=text_encoder,
         boundary_ratio=pipe_cfg.get("boundary_ratio", 0.9),
         audio_vae_type=pipe_cfg.get("audio_vae_type", "dac"),
         two_video_towers=os.path.isdir(os.path.join(ckpt_dir, "video_dit_2")),

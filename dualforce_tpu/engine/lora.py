@@ -120,25 +120,27 @@ def save_lora(lora: Dict[str, Any], path: str, alpha: float, rank: int) -> None:
     import json
     import os
 
+    base = path[:-4] if path.endswith(".npz") else path
     flat = {}
     for mod, tree in lora.items():
         for name, ab in tree.items():
             flat[f"{mod}::{name}::a"] = np.asarray(ab["a"])
             flat[f"{mod}::{name}::b"] = np.asarray(ab["b"])
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, **flat)
-    with open(path + ".json", "w") as f:
+    os.makedirs(os.path.dirname(base) or ".", exist_ok=True)
+    np.savez(base + ".npz", **flat)
+    with open(base + ".json", "w") as f:
         json.dump({"alpha": alpha, "rank": rank}, f)
 
 
 def load_lora(path: str) -> Tuple[Dict[str, Any], Dict[str, float]]:
     import json
 
-    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    base = path[:-4] if path.endswith(".npz") else path
+    data = np.load(base + ".npz")
     lora: Dict[str, Any] = {}
     for key in data.files:
         mod, name, part = key.split("::")
         lora.setdefault(mod, {}).setdefault(name, {})[part] = jnp.asarray(data[key])
-    with open((path if path.endswith(".npz") else path + ".npz") + ".json") as f:
+    with open(base + ".json") as f:
         cfg = json.load(f)
     return lora, cfg
