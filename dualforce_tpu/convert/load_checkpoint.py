@@ -264,16 +264,31 @@ def _convert_wan_vae(sd: Dict[str, np.ndarray], cfg: WanVAEConfig) -> Dict:
 
 
 def load_pipeline_params(ckpt_dir: str, cfg: Optional[MOVAConfig] = None,
-                         dtype=None, to_device: bool = True) -> Dict[str, Any]:
+                         dtype=None, to_device: bool = True,
+                         cache: bool = False,
+                         cache_dir: Optional[str] = None) -> Dict[str, Any]:
     """Convert a full MOVA checkpoint directory to pipeline params.
 
     to_device=False keeps the trees as host numpy arrays (for the
-    component-offload pipeline mode, which stages modules to HBM on demand)."""
+    component-offload pipeline mode, which stages modules to HBM on demand).
+    cache=True stores the converted pytrees as an Orbax checkpoint next to the
+    source (one-time conversion; subsequent loads restore directly, sharded
+    under an active Mesh)."""
     import jax.numpy as jnp
 
     if cfg is None:
         cfg = config_from_checkpoint(ckpt_dir)
     dtype = dtype or jnp.bfloat16
+
+    cache_path = os.path.abspath(cache_dir or os.path.join(ckpt_dir, ".dftpu_orbax"))
+    if cache and os.path.isdir(cache_path) and os.listdir(cache_path):
+        import jax
+        import orbax.checkpoint as ocp
+
+        params = ocp.PyTreeCheckpointer().restore(cache_path)
+        if not to_device:
+            params = jax.tree.map(np.asarray, params)
+        return params
 
     params: Dict[str, Any] = {}
     params["video_dit"] = convert_video_dit(
@@ -312,6 +327,12 @@ def load_pipeline_params(ckpt_dir: str, cfg: Optional[MOVAConfig] = None,
                 jax.tree.map(as_array, params[k]), dtype)
     for k in ("video_vae", "audio_vae"):
         params[k] = jax.tree.map(as_array, params[k])
+
+    if cache:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(cache_path, jax.tree.map(jnp.asarray, params), force=True)
     return params
 
 

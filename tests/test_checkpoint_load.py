@@ -75,6 +75,20 @@ def test_load_params_and_forward(tiny_ckpt):
     assert np.isfinite(np.asarray(lat)).all()
 
 
+def test_orbax_cache_roundtrip(tiny_ckpt, tmp_path):
+    """cache=True: first load converts + saves; second load restores the
+    Orbax cache and matches the converted pytrees exactly."""
+    cfg = config_from_checkpoint(tiny_ckpt)
+    cache_dir = str(tmp_path / "orbax_cache")
+    first = load_pipeline_params(tiny_ckpt, cfg, dtype=jnp.float32,
+                                 cache=True, cache_dir=cache_dir)
+    assert os.path.isdir(cache_dir) and os.listdir(cache_dir)
+    second = load_pipeline_params(tiny_ckpt, cfg, dtype=jnp.float32,
+                                  cache=True, cache_dir=cache_dir)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), first, second)
+
+
 def test_tokenizer_and_text_encoder(tiny_ckpt):
     from dualforce_tpu.models import umt5
 
