@@ -305,7 +305,10 @@ def _bwd_dkv_kernel(*refs, bq: int, bk: int, masked: bool):
 def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int, dlse=None):
     bn, sq, d = q.shape
     sk = k.shape[1]
-    bq = min(bq, _ceil_to(sq, 128))
+    # the bwd kernels hold more live tiles (do, lse, delta, two fp32 [bq,bk]
+    # intermediates) than the fwd; bq=1024 with bk~2048 exceeds the 16 MB
+    # scoped-VMEM stack — cap the q block at 512 here
+    bq = min(bq, 512, _ceil_to(sq, 128))
     if kv_valid_len is None:
         bk = _exact_bk(sk, bk) or min(bk, _ceil_to(sk, 128))
     else:
