@@ -203,6 +203,55 @@ class MOVAPipeline:
             self._denoise_cache[key] = jax.jit(run)
         return self._denoise_cache[key]
 
+    # --- serving warmup -------------------------------------------------------
+    def warmup(self, height: int = 352, width: int = 640, num_frames: int = 193,
+               num_inference_steps: int = 50, sigma_shift: float = 5.0,
+               cfg_scale: float = 5.0, video_fps: float = 24.0,
+               batch_size: int = 1, cfg_batch: bool = False,
+               cfg_cache_interval: int = 1) -> None:
+        """AOT-compile the denoise program for a geometry bucket WITHOUT
+        running it (serving startup; first request then executes the cached
+        executable instead of paying a multi-minute compile)."""
+        if self.offload != "none":
+            return  # offload path compiles per phase on first use
+        self.scheduler.set_timesteps(num_inference_steps, shift=sigma_shift)
+        plan = build_plan(self.scheduler, self.cfg.boundary_ratio)
+        vcfg, acfg = self.cfg.video_dit, self.cfg.audio_vae
+        st = self.cfg.video_vae.scale_factor_temporal
+        ss = self.cfg.video_vae.scale_factor_spatial
+        F = (num_frames - 1) // st + 1
+        lh, lw = height // ss, width // ss
+        la = (int(acfg.sample_rate * num_frames / video_fps) - 1) // acfg.hop_length + 1
+        b = batch_size
+
+        def st_(shape, dtype=jnp.float32):
+            return jax.ShapeDtypeStruct(shape, dtype)
+
+        abstract = dict(
+            latents=st_((b, self.cfg.video_vae.z_dim, F, lh, lw)),
+            condition=st_((b, self.cfg.video_vae.z_dim + st, F, lh, lw)),
+            audio_latents=st_((b, acfg.latent_dim, la)),
+            ctx_pos=st_((b, 512, self.cfg.text_encoder.d_model)),
+            ctx_neg=(st_((b, 512, self.cfg.text_encoder.d_model))
+                     if cfg_scale != 1.0 else None),
+        )
+        grid = (F // vcfg.patch_size[0], lh // vcfg.patch_size[1],
+                lw // vcfg.patch_size[2])
+        rope_pack = make_rope_pack(vcfg, self.cfg.audio_dit, self.cfg.bridge,
+                                   grid, la, video_fps)
+        rope_abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), rope_pack)
+        params_abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params)
+        run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch,
+                                cfg_cache_interval=cfg_cache_interval)
+        run.lower(params_abstract["video_dit"],
+                  params_abstract.get("video_dit_2"),
+                  params_abstract["audio_dit"], params_abstract["bridge"],
+                  abstract["latents"], abstract["condition"],
+                  abstract["audio_latents"], abstract["ctx_pos"],
+                  abstract["ctx_neg"], rope_abstract).compile()
+
     # --- batched generation (serving path) -----------------------------------
     def generate(
         self,

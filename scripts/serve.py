@@ -26,7 +26,22 @@ def main():
     ap.add_argument("--max_batch", type=int, default=1,
                     help="batch same-geometry requests through one denoise "
                          "program (continuous batching)")
+    ap.add_argument("--warmup", type=str, default=None,
+                    help="AOT-compile a geometry bucket at startup, e.g. "
+                         "'640x352x193x50' (WxHxframesxsteps); combined with "
+                         "the persistent compilation cache the first request "
+                         "skips the multi-minute compile")
+    ap.add_argument("--compile_cache", type=str,
+                    default=os.path.expanduser("~/.cache/dualforce_jax"),
+                    help="persistent XLA compilation cache dir ('' disables)")
     args = ap.parse_args()
+
+    import jax
+
+    if args.compile_cache:
+        os.makedirs(args.compile_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from dualforce_tpu.convert.load_checkpoint import (
         config_from_checkpoint,
@@ -48,6 +63,14 @@ def main():
         params = shard_params(params, mesh)
     pipe = MOVAPipeline(cfg, params, tokenizer=load_tokenizer(args.ckpt_path),
                         attn_impl=args.attn_type)
+    if args.warmup:
+        w, h, frames, steps = (int(x) for x in args.warmup.split("x"))
+        print(f"[serve] warming up {w}x{h} {frames}f {steps} steps ...")
+        pipe.warmup(height=h, width=w, num_frames=frames,
+                    num_inference_steps=steps,
+                    batch_size=max(args.max_batch, 1))
+        print("[serve] warmup compile done")
+
     server = VideoServer(
         make_pipeline_backend(pipe), out_dir=args.out_dir,
         batch_backend=(make_pipeline_batch_backend(pipe)

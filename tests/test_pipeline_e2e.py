@@ -132,6 +132,18 @@ def test_generate_batch_matches_singles():
                               - single.video.astype(int))) < 0.5
 
 
+def test_warmup_compiles_without_running():
+    """AOT warmup must lower+compile the denoise bucket without executing it,
+    and generation afterwards must still work."""
+    pipe = _build_pipeline()
+    pipe.warmup(height=32, width=32, num_frames=5, num_inference_steps=2,
+                cfg_scale=5.0)
+    img = np.random.default_rng(7).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    r = pipe("hi", img, seed=1, height=32, width=32, num_frames=5,
+             num_inference_steps=2, cfg_scale=5.0)
+    assert r.video.shape == (5, 32, 32, 3)
+
+
 def test_plan_boundary_switch():
     cfg = tiny_test_config()
     sched = FlowMatchPairScheduler(cfg.scheduler)
