@@ -273,7 +273,9 @@ def load_pipeline_params(ckpt_dir: str, cfg: Optional[MOVAConfig] = None,
     component-offload pipeline mode, which stages modules to HBM on demand).
     cache=True stores the converted pytrees as an Orbax checkpoint next to the
     source (one-time conversion; subsequent loads restore directly, sharded
-    under an active Mesh)."""
+    under an active Mesh). The cache records the tower dtype and the source
+    weight mtimes — a dtype change or updated checkpoint invalidates it."""
+    import jax
     import jax.numpy as jnp
 
     if cfg is None:
@@ -281,14 +283,24 @@ def load_pipeline_params(ckpt_dir: str, cfg: Optional[MOVAConfig] = None,
     dtype = dtype or jnp.bfloat16
 
     cache_path = os.path.abspath(cache_dir or os.path.join(ckpt_dir, ".dftpu_orbax"))
+    meta_path = cache_path + ".meta.json"
+    src_mtime = max((os.path.getmtime(os.path.join(r, f))
+                     for r, _, fs in os.walk(ckpt_dir) for f in fs
+                     if f.endswith((".safetensors", ".bin"))), default=0.0)
+    want_meta = {"dtype": jnp.dtype(dtype).name, "src_mtime": src_mtime}
     if cache and os.path.isdir(cache_path) and os.listdir(cache_path):
-        import jax
-        import orbax.checkpoint as ocp
+        have_meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                have_meta = json.load(f)
+        if have_meta == want_meta:
+            import orbax.checkpoint as ocp
 
-        params = ocp.PyTreeCheckpointer().restore(cache_path)
-        if not to_device:
-            params = jax.tree.map(np.asarray, params)
-        return params
+            params = ocp.PyTreeCheckpointer().restore(cache_path)
+            if not to_device:
+                params = jax.tree.map(np.asarray, params)
+            return params
+        # stale or mismatched cache: fall through and rebuild it
 
     params: Dict[str, Any] = {}
     params["video_dit"] = convert_video_dit(
@@ -306,10 +318,6 @@ def load_pipeline_params(ckpt_dir: str, cfg: Optional[MOVAConfig] = None,
         load_state_dict(os.path.join(ckpt_dir, "audio_vae")), cfg.audio_vae)
     params["text_encoder"] = convert_umt5(
         load_state_dict(os.path.join(ckpt_dir, "text_encoder")), cfg.text_encoder)
-
-    import jax
-
-    import numpy as np
 
     from dualforce_tpu import nn as dnn
 
@@ -331,8 +339,12 @@ def load_pipeline_params(ckpt_dir: str, cfg: Optional[MOVAConfig] = None,
     if cache:
         import orbax.checkpoint as ocp
 
+        # save host-side arrays as-is: forcing jnp here would device_put the
+        # whole pipeline, defeating to_device=False on HBM-constrained chips
         ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(cache_path, jax.tree.map(jnp.asarray, params), force=True)
+        ckptr.save(cache_path, params, force=True)
+        with open(meta_path, "w") as f:
+            json.dump(want_meta, f)
     return params
 
 

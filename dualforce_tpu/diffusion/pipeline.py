@@ -48,6 +48,12 @@ def prompt_clean(text: str) -> str:
     return re.sub(r"\s+", " ", basic_clean(text)).strip()
 
 
+def _arg_sig(args) -> Tuple:
+    """Shape/dtype signature of a call's array leaves (warmup dispatch key)."""
+    return tuple((tuple(x.shape), str(x.dtype))
+                 for x in jax.tree.leaves(args) if hasattr(x, "shape"))
+
+
 @dataclass
 class GenerationResult:
     video: np.ndarray   # [T, H, W, 3] uint8
@@ -200,7 +206,16 @@ class MOVAPipeline:
                         attn_impl=self.attn_impl, rope_pack=rope_pack,
                         cfg_cache_interval=cfg_cache_interval)
 
-            self._denoise_cache[key] = jax.jit(run)
+            jit_fn = jax.jit(run)
+            warm: Dict[Tuple, Any] = {}
+
+            def dispatch(*args, _jit=jit_fn, _warm=warm):
+                c = _warm.get(_arg_sig(args))
+                return c(*args) if c is not None else _jit(*args)
+
+            dispatch._jit = jit_fn
+            dispatch._warm = warm
+            self._denoise_cache[key] = dispatch
         return self._denoise_cache[key]
 
     # --- serving warmup -------------------------------------------------------
@@ -227,12 +242,15 @@ class MOVAPipeline:
         def st_(shape, dtype=jnp.float32):
             return jax.ShapeDtypeStruct(shape, dtype)
 
+        # ctx embeddings come out of encode_prompt in COMPUTE dtype — compiling
+        # for any other dtype would make the warmed program unreachable
+        ctx_dtype = jnp.dtype(self.compute_dtype)
         abstract = dict(
             latents=st_((b, self.cfg.video_vae.z_dim, F, lh, lw)),
             condition=st_((b, self.cfg.video_vae.z_dim + st, F, lh, lw)),
             audio_latents=st_((b, acfg.latent_dim, la)),
-            ctx_pos=st_((b, 512, self.cfg.text_encoder.d_model)),
-            ctx_neg=(st_((b, 512, self.cfg.text_encoder.d_model))
+            ctx_pos=st_((b, 512, self.cfg.text_encoder.d_model), ctx_dtype),
+            ctx_neg=(st_((b, 512, self.cfg.text_encoder.d_model), ctx_dtype)
                      if cfg_scale != 1.0 else None),
         )
         grid = (F // vcfg.patch_size[0], lh // vcfg.patch_size[1],
@@ -245,12 +263,14 @@ class MOVAPipeline:
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params)
         run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch,
                                 cfg_cache_interval=cfg_cache_interval)
-        run.lower(params_abstract["video_dit"],
-                  params_abstract.get("video_dit_2"),
-                  params_abstract["audio_dit"], params_abstract["bridge"],
-                  abstract["latents"], abstract["condition"],
-                  abstract["audio_latents"], abstract["ctx_pos"],
-                  abstract["ctx_neg"], rope_abstract).compile()
+        args = (params_abstract["video_dit"], params_abstract.get("video_dit_2"),
+                params_abstract["audio_dit"], params_abstract["bridge"],
+                abstract["latents"], abstract["condition"],
+                abstract["audio_latents"], abstract["ctx_pos"],
+                abstract["ctx_neg"], rope_abstract)
+        # register the executable with the dispatcher: jit's own cache is NOT
+        # populated by lower().compile(), so the first real call would retrace
+        run._warm[_arg_sig(args)] = run._jit.lower(*args).compile()
 
     # --- batched generation (serving path) -----------------------------------
     def generate(
@@ -310,11 +330,15 @@ class MOVAPipeline:
             cfg_scale, video_fps, cfg_batch, cfg_cache_interval)
 
         results = []
-        for i in range(bsz):
-            video, audio = self.decode(latents[i:i + 1], audio_latents[i:i + 1])
-            results.append(GenerationResult(
-                video=video, audio=audio,
-                sample_rate=self.cfg.audio_vae.sample_rate, fps=video_fps))
+        # stage the VAEs ONCE around the whole batch (offload mode would
+        # otherwise pay host->HBM weight transfers per item)
+        with self._staged("video_vae", "audio_vae") as p:
+            for i in range(bsz):
+                video, audio = self._decode_with(
+                    p, latents[i:i + 1], audio_latents[i:i + 1])
+                results.append(GenerationResult(
+                    video=video, audio=audio,
+                    sample_rate=self.cfg.audio_vae.sample_rate, fps=video_fps))
         return results
 
     def _denoise(self, plan, latents, condition, audio_latents, ctx_pos,
@@ -382,19 +406,21 @@ class MOVAPipeline:
 
     def decode(self, latents: jnp.ndarray, audio_latents: jnp.ndarray):
         """latents [1,16,F,h,w] -> uint8 video; audio latents -> waveform."""
+        with self._staged("video_vae", "audio_vae") as p:
+            return self._decode_with(p, latents, audio_latents)
+
+    def _decode_with(self, params, latents, audio_latents):
         vcfg = self.cfg.video_vae
         z = jnp.transpose(latents, (0, 2, 3, 4, 1))        # channels-last
         z = wan_vae.denormalize_latents(z, vcfg)
-        with self._staged("video_vae") as p:
-            video = wan_vae.decode(
-                jax.tree.map(lambda x: x.astype(self.compute_dtype), p["video_vae"])
-                if self.compute_dtype != jnp.float32 else p["video_vae"],
-                vcfg, z.astype(self.compute_dtype))        # bf16 decode (reference parity)
-            video = np.asarray(video[0].astype(jnp.float32))   # [T, H, W, 3] in [-1, 1]
+        video = wan_vae.decode(
+            jax.tree.map(lambda x: x.astype(self.compute_dtype), params["video_vae"])
+            if self.compute_dtype != jnp.float32 else params["video_vae"],
+            vcfg, z.astype(self.compute_dtype))            # bf16 decode (reference parity)
+        video = np.asarray(video[0].astype(jnp.float32))   # [T, H, W, 3] in [-1, 1]
         video = ((np.clip(video, -1, 1) + 1) * 127.5).round().astype(np.uint8)
 
-        with self._staged("audio_vae") as p:
-            audio = dac_vae.decode(p["audio_vae"], self.cfg.audio_vae,
-                                   audio_latents)          # fp32 decode
-            audio = np.asarray(audio[0, 0])
+        audio = dac_vae.decode(params["audio_vae"], self.cfg.audio_vae,
+                               audio_latents)              # fp32 decode
+        audio = np.asarray(audio[0, 0])
         return video, audio

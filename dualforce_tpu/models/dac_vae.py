@@ -232,6 +232,12 @@ def decode(params, cfg: DACVAEConfig, z):
     return wav.transpose(0, 2, 1)
 
 
+# module-level jitted window programs: a fresh jax.jit per compress() call
+# would carry an empty cache and recompile every invocation
+_encode_mode_jit = jax.jit(encode_mode, static_argnums=(1,))
+_decode_jit = jax.jit(decode, static_argnums=(1,))
+
+
 # ---------------------------------------------------------------------------
 # chunked streaming compress/decompress
 #
@@ -289,7 +295,7 @@ def compress(params, cfg: DACVAEConfig, audio: jnp.ndarray,
     # Clamped windows: edge windows butt against the true clip boundaries, so
     # the per-layer zero padding there matches the full pass exactly; interior
     # frames are >= ov (>= receptive field) from any window edge.
-    enc = jax.jit(lambda a: encode_mode(params, cfg, a))
+    enc = lambda a: _encode_mode_jit(params, cfg, a)  # noqa: E731
     n_win = -(-total_t // chunk_frames)
     outs = []
     for i in range(n_win):
@@ -315,7 +321,7 @@ def decompress(params, cfg: DACVAEConfig, z: jnp.ndarray,
     if total_t <= win_t:
         return decode(params, cfg, z)
 
-    dec = jax.jit(lambda zz: decode(params, cfg, zz))
+    dec = lambda zz: _decode_jit(params, cfg, zz)  # noqa: E731
     n_win = -(-total_t // chunk_frames)
     outs = []
     for i in range(n_win):

@@ -199,11 +199,14 @@ class VideoServer:
 
         pending = collections.deque()
         while True:
-            if not pending:
+            fresh = not pending
+            if fresh:
                 pending.append(self.queue.get())   # block until work arrives
-            # short batching window: pick up tasks that arrive together
+            # short batching window: pick up tasks that arrive together.
+            # Skipped when leftovers are pending (they already waited one
+            # window) and cut short once a full batch is available.
             deadline = time.time() + self.batch_window_s
-            while self.max_batch > 1:
+            while self.max_batch > 1 and fresh and len(pending) < self.max_batch:
                 timeout = deadline - time.time()
                 if timeout <= 0:
                     break

@@ -1,10 +1,12 @@
 """Single-clip TI2VA inference CLI.
 
 Flag-for-flag counterpart of the reference scripts/inference_single.py:24-46.
-TPU notes: `--offload` modes are accepted for CLI compatibility but are no-ops
-— weights are HBM-resident (GSPMD-sharded when cp_size/fsdp_size > 1), which
-IS the memory strategy here. `--cp_size` builds a cp mesh axis; attention runs
-sequence-parallel over ICI instead of torchrun+NCCL.
+TPU notes: the default memory strategy is HBM-resident weights (GSPMD-sharded
+when cp_size/fsdp_size > 1). `--offload cpu/group/component` enables real
+component-wise host staging (params live on host; each module moves to HBM
+for its phase; the two video experts never coexist on device) — the escape
+hatch for chips whose HBM can't hold the pipeline. `--cp_size` builds a cp
+mesh axis; attention runs sequence-parallel over ICI instead of torchrun+NCCL.
 """
 
 from __future__ import annotations
@@ -39,8 +41,9 @@ def parse_args():
     p.add_argument("--attn_type", type=str, default="auto",
                    choices=["auto", "pallas", "ref"])
     p.add_argument("--offload", type=str, default="none",
-                   choices=["none", "cpu", "group"],
-                   help="accepted for reference-CLI parity; no-op on TPU")
+                   choices=["none", "cpu", "group", "component"],
+                   help="component-wise host staging (cpu/group map to "
+                        "'component'); default keeps weights HBM-resident")
     p.add_argument("--remove_video_dit", action="store_true",
                    help="free the high-noise tower after the boundary switch")
     p.add_argument("--cfg_cache_interval", type=int, default=1,

@@ -65,10 +65,11 @@ def main():
                         attn_impl=args.attn_type)
     if args.warmup:
         w, h, frames, steps = (int(x) for x in args.warmup.split("x"))
-        print(f"[serve] warming up {w}x{h} {frames}f {steps} steps ...")
-        pipe.warmup(height=h, width=w, num_frames=frames,
-                    num_inference_steps=steps,
-                    batch_size=max(args.max_batch, 1))
+        # batching makes group sizes 1..max_batch possible; warm the common ones
+        for b in sorted({1, max(args.max_batch, 1)}):
+            print(f"[serve] warming up {w}x{h} {frames}f {steps} steps b={b} ...")
+            pipe.warmup(height=h, width=w, num_frames=frames,
+                        num_inference_steps=steps, batch_size=b)
         print("[serve] warmup compile done")
 
     server = VideoServer(

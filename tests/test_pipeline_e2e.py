@@ -134,14 +134,23 @@ def test_generate_batch_matches_singles():
 
 def test_warmup_compiles_without_running():
     """AOT warmup must lower+compile the denoise bucket without executing it,
-    and generation afterwards must still work."""
+    and generation afterwards must USE the warmed executable (the jit's own
+    dispatch cache stays empty)."""
     pipe = _build_pipeline()
     pipe.warmup(height=32, width=32, num_frames=5, num_inference_steps=2,
                 cfg_scale=5.0)
+    (dispatch,) = pipe._denoise_cache.values()
+    assert len(dispatch._warm) == 1       # compiled executable registered
     img = np.random.default_rng(7).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
     r = pipe("hi", img, seed=1, height=32, width=32, num_frames=5,
              num_inference_steps=2, cfg_scale=5.0)
     assert r.video.shape == (5, 32, 32, 3)
+    assert dispatch._jit._cache_size() == 0  # served by the warmed executable
+
+    # different geometry falls back to the jit path transparently
+    r2 = pipe("hi", img, seed=1, height=32, width=32, num_frames=9,
+              num_inference_steps=2, cfg_scale=5.0)
+    assert r2.video.shape == (9, 32, 32, 3)
 
 
 def test_plan_boundary_switch():
