@@ -27,7 +27,7 @@ from typing import Any, Dict, Iterator, List, Optional
 import numpy as np
 from PIL import Image
 
-from dualforce_tpu.data.transforms import crop_and_resize, frames_to_tensor
+
 from dualforce_tpu.registry import DATASETS
 
 
@@ -90,11 +90,11 @@ class VideoAudioDataset:
         if len(frames) < self.num_frames:
             frames = frames + [frames[-1]] * (self.num_frames - len(frames))
         frames = frames[: self.num_frames]
-        frames = [
-            np.asarray(crop_and_resize(Image.fromarray(f), self.height, self.width))
-            for f in frames
-        ]
-        video = frames_to_tensor(frames)  # [T, H, W, 3] in [-1, 1]
+        # C++ OpenMP kernel (native/dfdata.cpp) when built; PIL fallback inside
+        from dualforce_tpu.data import native
+
+        frames_u8 = np.stack([np.asarray(f, np.uint8) for f in frames])
+        video = native.resize_crop_normalize(frames_u8, self.height, self.width)
 
         # pad/trim audio to sr * T / fps (video_audio_dataset.py:119-154)
         target = int(self.sample_rate * self.num_frames / self.fps)
