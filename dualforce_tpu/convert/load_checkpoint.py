@@ -328,11 +328,16 @@ def load_pipeline_params(ckpt_dir: str, cfg: Optional[MOVAConfig] = None,
         def as_array(x):
             return np.asarray(x)
 
-    # towers in compute dtype; VAEs stay fp32 (decode precision parity)
+    # towers in compute dtype; VAEs stay fp32 (decode precision parity).
+    # fp8 dtype = storage-only: kernels go fp8 (half the HBM), biases/norms/
+    # modulation stay bf16, and nn.linear upcasts at use.
+    fp8 = jnp.dtype(dtype) in (jnp.dtype(jnp.float8_e4m3fn),
+                               jnp.dtype(jnp.float8_e5m2))
     for k in ("video_dit", "video_dit_2", "audio_dit", "bridge", "text_encoder"):
         if k in params:
-            params[k] = dnn.cast_tree(
-                jax.tree.map(as_array, params[k]), dtype)
+            tree = jax.tree.map(as_array, params[k])
+            params[k] = (dnn.cast_tree_fp8(tree, dtype) if fp8
+                         else dnn.cast_tree(tree, dtype))
     for k in ("video_vae", "audio_vae"):
         params[k] = jax.tree.map(as_array, params[k])
 

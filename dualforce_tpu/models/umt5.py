@@ -88,12 +88,14 @@ def init(key, cfg: UMT5Config, dtype=jnp.float32):
 
 
 def _layer(p, x, bias, mask_add, cfg: UMT5Config, compute_dtype):
+    from dualforce_tpu import nn as dnn
+
     b, s, _ = x.shape
     h, dk = cfg.num_heads, cfg.d_kv
     xn = _t5_ln(x, p["ln1"]["scale"], cfg.layer_norm_epsilon)
-    q = (xn @ p["attn"]["q"]["kernel"]).reshape(b, s, h, dk)
-    k = (xn @ p["attn"]["k"]["kernel"]).reshape(b, s, h, dk)
-    v = (xn @ p["attn"]["v"]["kernel"]).reshape(b, s, h, dk)
+    q = dnn.linear(p["attn"]["q"], xn).reshape(b, s, h, dk)
+    k = dnn.linear(p["attn"]["k"], xn).reshape(b, s, h, dk)
+    v = dnn.linear(p["attn"]["v"], xn).reshape(b, s, h, dk)
     # per-layer position bias: [s, s, buckets-indexed] -> [h, s, s]
     pos_bias = p["attn"]["rel_bias"][bias]  # [s, s, h]
     logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
@@ -104,12 +106,12 @@ def _layer(p, x, bias, mask_add, cfg: UMT5Config, compute_dtype):
     o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, h * dk)
     # keep the residual stream in compute dtype even over fp32 params
     # (mixed-dtype matmuls promote, which would flip the scan carry dtype)
-    x = x + (o @ p["attn"]["o"]["kernel"]).astype(x.dtype)
+    x = x + dnn.linear(p["attn"]["o"], o).astype(x.dtype)
 
     xn = _t5_ln(x, p["ln2"]["scale"], cfg.layer_norm_epsilon)
-    gelu = jax.nn.gelu(xn @ p["mlp"]["wi_0"]["kernel"], approximate=True)
-    x = x + ((gelu * (xn @ p["mlp"]["wi_1"]["kernel"]))
-             @ p["mlp"]["wo"]["kernel"]).astype(x.dtype)
+    gelu = jax.nn.gelu(dnn.linear(p["mlp"]["wi_0"], xn), approximate=True)
+    x = x + dnn.linear(p["mlp"]["wo"],
+                       gelu * dnn.linear(p["mlp"]["wi_1"], xn)).astype(x.dtype)
     return x
 
 

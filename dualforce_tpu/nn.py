@@ -28,6 +28,36 @@ def _uniform(key, shape, bound, dtype):
     return jax.random.uniform(key, shape, minval=-bound, maxval=bound, dtype=jnp.float32).astype(dtype)
 
 
+FP8_DTYPES = (jnp.float8_e4m3fn, jnp.float8_e5m2)
+
+
+def cast_tree_fp8(tree, weight_dtype=None, other_dtype=jnp.bfloat16):
+    """Cast matmul kernels (ndim >= 2) to fp8 storage and everything
+    precision-sensitive (biases, norm scales, modulation tables) to
+    `other_dtype`. The fp8 weights upcast at use inside `linear`."""
+    weight_dtype = weight_dtype or jnp.float8_e4m3fn
+
+    def cast(path, x):
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        if x.ndim >= 2 and "modulation" not in name and "norm" not in name:
+            return x.astype(weight_dtype)
+        return x.astype(other_dtype)
+
+    return jax.tree_util.tree_map_with_path(cast, tree)
+
+
+def _weight(p, key, like):
+    """Fetch a weight, upcasting fp8 storage to the activation dtype at use
+    (fp8 weight storage halves HBM; v5e has no fp8 MXU, so compute stays
+    bf16 — the conversion is one VPU pass per weight per matmul, amortized
+    over the token dimension)."""
+    w = p[key]
+    if w.dtype in FP8_DTYPES:
+        w = w.astype(like.dtype)
+    return w
+
+
 def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32, bias: bool = True):
     """Matches torch.nn.Linear default init (kaiming-uniform kernel, uniform bias)."""
     kk, kb = jax.random.split(key)
@@ -39,9 +69,9 @@ def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32, bias: bool = 
 
 
 def linear(p, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["kernel"]
+    y = x @ _weight(p, "kernel", x)
     if "bias" in p:
-        y = y + p["bias"]
+        y = y + _weight(p, "bias", x)
     return y
 
 

@@ -44,6 +44,10 @@ def parse_args():
                    choices=["none", "cpu", "group", "component"],
                    help="component-wise host staging (cpu/group map to "
                         "'component'); default keeps weights HBM-resident")
+    p.add_argument("--weight_dtype", type=str, default="bf16",
+                   choices=["bf16", "fp8"],
+                   help="fp8 stores matmul kernels as float8_e4m3 (half the "
+                        "HBM; compute stays bf16)")
     p.add_argument("--remove_video_dit", action="store_true",
                    help="free the high-noise tower after the boundary switch")
     p.add_argument("--cfg_cache_interval", type=int, default=1,
@@ -81,8 +85,11 @@ def main():
         print("[info] --offload group: using component-wise staging "
               "(layerwise streaming is subsumed by fsdp sharding on TPU)")
 
+    import jax.numpy as jnp
+
     cfg = config_from_checkpoint(args.ckpt_path)
-    params = load_pipeline_params(args.ckpt_path, cfg,
+    wdtype = jnp.float8_e4m3fn if args.weight_dtype == "fp8" else jnp.bfloat16
+    params = load_pipeline_params(args.ckpt_path, cfg, dtype=wdtype,
                                   to_device=(offload == "none"))
     tokenizer = load_tokenizer(args.ckpt_path)
 

@@ -89,6 +89,46 @@ def test_orbax_cache_roundtrip(tiny_ckpt, tmp_path):
         np.asarray(a), np.asarray(b)), first, second)
 
 
+def test_fp8_weight_storage(tiny_ckpt):
+    """dtype=float8_e4m3fn stores matmul kernels in fp8 (≈half the tower
+    bytes), keeps norms/biases/modulation in bf16, and the forward upcasts at
+    use — output stays close to the bf16-weights forward."""
+    from dualforce_tpu.utils.misc import tree_size_bytes
+
+    cfg = config_from_checkpoint(tiny_ckpt)
+    p16 = load_pipeline_params(tiny_ckpt, cfg, dtype=jnp.bfloat16)
+    p8 = load_pipeline_params(tiny_ckpt, cfg, dtype=jnp.float8_e4m3fn)
+    assert (tree_size_bytes(p8["video_dit"])
+            < 0.7 * tree_size_bytes(p16["video_dit"]))
+    kern = p8["video_dit"]["blocks"]["self_attn"]["q"]["kernel"]
+    assert kern.dtype == jnp.float8_e4m3fn
+    norm = p8["video_dit"]["blocks"]["self_attn"]["norm_q"]["scale"]
+    assert norm.dtype == jnp.bfloat16
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    visual = jax.random.normal(ks[0], (1, 36, 3, 8, 8), jnp.float32)
+    audio = jax.random.normal(ks[1], (1, cfg.audio_dit.in_dim, 25), jnp.float32)
+    ctx = jax.random.normal(ks[2], (1, 16, cfg.video_dit.text_dim), jnp.float32) * 0.1
+    t = jnp.full((1,), 500.0, jnp.float32)
+
+    def run(p):
+        v, a = dual_tower_step(
+            p["video_dit"], p["audio_dit"], p["bridge"],
+            cfg.video_dit, cfg.audio_dit, cfg.bridge,
+            visual, audio, ctx, t, t, video_fps=24.0,
+            compute_dtype=jnp.bfloat16)
+        return np.asarray(v, np.float32), np.asarray(a, np.float32)
+
+    v16, a16 = run(p16)
+    v8, a8 = run(p8)
+    assert np.isfinite(v8).all() and np.isfinite(a8).all()
+    # fp8 e4m3 has ~2 decimal digits; expect correlated outputs, not identity
+    def rel(a, b):
+        return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9))
+    assert rel(v8, v16) < 0.25, rel(v8, v16)
+    assert rel(a8, a16) < 0.25, rel(a8, a16)
+
+
 def test_tokenizer_and_text_encoder(tiny_ckpt):
     from dualforce_tpu.models import umt5
 
