@@ -94,3 +94,23 @@ def test_with_lse_values_and_grads():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4,
             err_msg=f"d{name} mismatch")
+
+
+def test_fast_softmax_matches_exact():
+    """softmax_cap (static-shift fast mode) must match the exact kernel to
+    fp precision for in-range scores, incl. padded kv and the LSE output."""
+    b, sq, sk, n, d = 1, 300, 277, 2, 128
+    q, k, v = _rand(30, (b, sq, n, d)), _rand(31, (b, sk, n, d)), _rand(32, (b, sk, n, d))
+    exact = flash_attention(q, k, v, block_q=128, block_k=128)
+    fast = flash_attention(q, k, v, block_q=128, block_k=128, softmax_cap=30.0)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               rtol=2e-5, atol=2e-5)
+
+    # grads flow through the fast forward (bwd reuses the exact-path LSE math)
+    w = _rand(33, (b, sq, n, d))
+    g_fast = jax.grad(lambda q: jnp.sum(flash_attention(
+        q, k, v, block_q=128, block_k=128, softmax_cap=30.0) * w))(q)
+    g_exact = jax.grad(lambda q: jnp.sum(flash_attention(
+        q, k, v, block_q=128, block_k=128) * w))(q)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_exact),
+                               rtol=5e-4, atol=5e-4)
