@@ -178,6 +178,7 @@ class MOVAPipeline:
                      cfg_cache_interval: int = 1):
         key = (plan.num_steps, plan.boundary_step, cfg_scale, video_fps, cfg_batch,
                phase, cfg_cache_interval,
+               tuple(np.asarray(plan.pair_timesteps).ravel().tolist()),
                tuple(np.asarray(plan.sigmas_visual).tolist()),
                tuple(np.asarray(plan.sigmas_audio).tolist()))
         if key not in self._denoise_cache:
@@ -305,6 +306,10 @@ class MOVAPipeline:
                 "dual_sigma_shift",
                 visual_shift=visual_shift if visual_shift is not None else sigma_shift,
                 audio_shift=audio_shift if audio_shift is not None else sigma_shift)
+        else:
+            # the postprocess is scheduler state: clear it so a request with
+            # shifts doesn't leak its sigma columns into later plain requests
+            self.scheduler.set_pair_postprocess_by_name(None)
         plan = build_plan(self.scheduler, self.cfg.boundary_ratio)
 
         lat_l, cond_l, alat_l = [], [], []
@@ -333,6 +338,7 @@ class MOVAPipeline:
         # stage the VAEs ONCE around the whole batch (offload mode would
         # otherwise pay host->HBM weight transfers per item)
         with self._staged("video_vae", "audio_vae") as p:
+            p = self._cast_video_vae(p)
             for i in range(bsz):
                 video, audio = self._decode_with(
                     p, latents[i:i + 1], audio_latents[i:i + 1])
@@ -407,16 +413,23 @@ class MOVAPipeline:
     def decode(self, latents: jnp.ndarray, audio_latents: jnp.ndarray):
         """latents [1,16,F,h,w] -> uint8 video; audio latents -> waveform."""
         with self._staged("video_vae", "audio_vae") as p:
-            return self._decode_with(p, latents, audio_latents)
+            return self._decode_with(self._cast_video_vae(p), latents,
+                                     audio_latents)
+
+    def _cast_video_vae(self, params):
+        """Cast the video VAE to compute dtype ONCE per staged context (the
+        per-item decode loop would otherwise re-materialize the cast tree)."""
+        if self.compute_dtype == jnp.float32:
+            return params
+        return {**params, "video_vae": jax.tree.map(
+            lambda x: x.astype(self.compute_dtype), params["video_vae"])}
 
     def _decode_with(self, params, latents, audio_latents):
         vcfg = self.cfg.video_vae
         z = jnp.transpose(latents, (0, 2, 3, 4, 1))        # channels-last
         z = wan_vae.denormalize_latents(z, vcfg)
-        video = wan_vae.decode(
-            jax.tree.map(lambda x: x.astype(self.compute_dtype), params["video_vae"])
-            if self.compute_dtype != jnp.float32 else params["video_vae"],
-            vcfg, z.astype(self.compute_dtype))            # bf16 decode (reference parity)
+        video = wan_vae.decode(params["video_vae"], vcfg,
+                               z.astype(self.compute_dtype))  # bf16 (reference parity)
         video = np.asarray(video[0].astype(jnp.float32))   # [T, H, W, 3] in [-1, 1]
         video = ((np.clip(video, -1, 1) + 1) * 127.5).round().astype(np.uint8)
 

@@ -58,10 +58,16 @@ def build_train_tables(scheduler: FlowMatchPairScheduler,
 
 def sample_timestep_id(key, tables: TrainTables, expert: int) -> jnp.ndarray:
     """Uniform id in the expert's boundary range (mova_train.py:1380-1399;
-    expert 0 = high-noise ids [0, boundary_id), expert 1 = [boundary_id, N))."""
+    expert 0 = high-noise ids [0, boundary_id), expert 1 = [boundary_id, N)).
+
+    Degenerate boundaries (boundary_id 0 or N — one expert's range empty)
+    clamp to the nearest valid id, like the reference's clamp-with-warning."""
     n = len(tables.timesteps_visual)
-    lo, hi = (0, tables.boundary_id) if expert == 0 else (tables.boundary_id, n)
-    return jax.random.randint(key, (), lo, max(hi, lo + 1))
+    if expert == 0:
+        lo, hi = 0, max(tables.boundary_id, 1)
+    else:
+        lo, hi = min(tables.boundary_id, n - 1), n
+    return jax.random.randint(key, (), lo, hi)
 
 
 def encode_batch(params: Dict[str, Any], cfg: MOVAConfig, batch: Dict[str, Any],

@@ -26,7 +26,7 @@ from dualforce_tpu.registry import MODELS
 
 
 def init(key, cfg: AudioDiTConfig, dtype=jnp.float32):
-    ks = jax.random.split(key, 6 + cfg.num_layers)
+    ks = jax.random.split(key, 7 + cfg.num_layers)
     blocks = [
         dit_block_init(ks[6 + i], cfg.dim, cfg.ffn_dim, dtype)
         for i in range(cfg.num_layers)
@@ -44,23 +44,17 @@ def init(key, cfg: AudioDiTConfig, dtype=jnp.float32):
         },
         "time_projection": {"fc": nn.linear_init(ks[5], cfg.dim, cfg.dim * 6, dtype)},
         "blocks": nn.stack_params(blocks),
-        "head": head_init(key, cfg.dim, cfg.out_dim * cfg.patch_size, dtype),
+        # fresh key (parent `key` would duplicate ks[0]/ks[1]'s streams)
+        "head": head_init(ks[6 + cfg.num_layers], cfg.dim,
+                          cfg.out_dim * cfg.patch_size, dtype),
     }
 
 
-def time_embeds(params, cfg: AudioDiTConfig, timestep: jnp.ndarray):
-    emb = nn.sinusoidal_embedding_1d(cfg.freq_dim, timestep.astype(jnp.float32))
-    te = params["time_embedding"]
-    t = nn.linear(nn.cast_tree(te["fc2"], jnp.float32),
-                  nn.silu(nn.linear(nn.cast_tree(te["fc1"], jnp.float32), emb)))
-    tp = nn.cast_tree(params["time_projection"]["fc"], jnp.float32)
-    t_mod = nn.linear(tp, nn.silu(t)).reshape(t.shape[0], 6, cfg.dim)
-    return t, t_mod
-
-
-def embed_text(params, context: jnp.ndarray):
-    p = params["text_embedding"]
-    return nn.linear(p["fc2"], nn.gelu_tanh(nn.linear(p["fc1"], context)))
+# the audio tower shares the video tower's embedding heads (the reference
+# reuses the same modules, wan_audio_dit.py:15) — alias rather than copy so
+# numerics fixes stay in one place
+time_embeds = video_dit.time_embeds
+embed_text = video_dit.embed_text
 
 
 def rope_tables(cfg: AudioDiTConfig):

@@ -34,6 +34,13 @@ def cond_block_init(key, dim: int, kv_dim: int, dtype=jnp.float32,
         "y_norm": nn.layer_norm_init(kv_dim, dtype),
         "inner": attn_qkv_init(k2, dim, kv_dim, dtype),
     }
+    if pooled_adaln and kv_dim % num_heads:
+        # fail at init like torch nn.MultiheadAttention's assert — otherwise
+        # this surfaces as a cryptic reshape error deep in the forward
+        raise ValueError(
+            f"pooled_adaln pools the kv side ({kv_dim}) over the query-side "
+            f"head count ({num_heads}); kv_dim % num_heads must be 0 "
+            "(interactionv2.py:326 has the same constraint)")
     if pooled_adaln:
         p["pool"] = {
             "probe": (jax.random.normal(k3, (1, 1, kv_dim), jnp.float32) * 0.02

@@ -121,9 +121,11 @@ def forward_dual_tower(
         # General path: unrolled python loop with sparse bridge lookups
         # (non-"full" strategies are small research configs).
         bridge_idx = {layer: i for i, layer in enumerate(interact)}
+        layer_fn = (jax.checkpoint(shared_layer, static_argnums=(6,))
+                    if remat else shared_layer)
         for layer in range(min_layers):
             i = bridge_idx.get(layer)
-            visual_x, audio_x = shared_layer(
+            visual_x, audio_x = layer_fn(
                 visual_x, audio_x,
                 nn.index_params(bridge_params["a2v"], i) if i is not None else None,
                 nn.index_params(bridge_params["v2a"], i) if i is not None else None,

@@ -133,7 +133,7 @@ def head_apply(p, x, t, eps: float):
 # ---------------------------------------------------------------------------
 
 def init(key, cfg: VideoDiTConfig, dtype=jnp.float32):
-    ks = jax.random.split(key, 6 + cfg.num_layers)
+    ks = jax.random.split(key, 7 + cfg.num_layers)
     pt, ph, pw = cfg.patch_size
     blocks = [
         dit_block_init(ks[6 + i], cfg.dim, cfg.ffn_dim, dtype)
@@ -152,7 +152,10 @@ def init(key, cfg: VideoDiTConfig, dtype=jnp.float32):
         },
         "time_projection": {"fc": nn.linear_init(ks[5], cfg.dim, cfg.dim * 6, dtype)},
         "blocks": nn.stack_params(blocks),
-        "head": head_init(key, cfg.dim, cfg.out_dim * pt * ph * pw, dtype),
+        # fresh key: reusing the parent `key` would duplicate ks[0]/ks[1]'s
+        # streams (jax.random.split(key, 2) is a prefix of split(key, N))
+        "head": head_init(ks[6 + cfg.num_layers], cfg.dim,
+                          cfg.out_dim * pt * ph * pw, dtype),
     }
 
 

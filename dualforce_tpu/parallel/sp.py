@@ -74,6 +74,18 @@ def sp_forward_blocks(
     lv, la = visual_x.shape[1], audio_x.shape[1]
     visual_x, vpad = _pad_tokens(visual_x, cp)
     audio_x, apad = _pad_tokens(audio_x, cp)
+    if vpad or apad:
+        # the reference zero-pads the tail rank the same way
+        # (functional.py:60-71): padded rows DO enter the ring/bridge softmax
+        # as near-zero keys, a small approximation. Surface it rather than
+        # degrade silently; pick cp dividing the token counts to avoid it.
+        import warnings
+
+        warnings.warn(
+            f"sequence lengths (video {lv}, audio {la}) are not divisible by "
+            f"cp={cp}; zero-padded tokens participate in attention "
+            "(reference-parity behavior, but cp=1 equivalence is then only "
+            "approximate)", stacklevel=2)
 
     visual_rope = tuple(jnp.asarray(_pad_axis(jnp.asarray(r), vpad, 0))
                         for r in visual_rope)
