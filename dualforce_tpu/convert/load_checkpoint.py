@@ -133,8 +133,12 @@ def config_from_checkpoint(ckpt_dir: str) -> MOVAConfig:
             num_res_blocks=vv.get("num_res_blocks", 2),
             attn_scales=tuple(vv.get("attn_scales", ())),
             temperal_downsample=tuple(vv.get("temperal_downsample", (False, True, True))),
-            latents_mean=tuple(vv.get("latents_mean")),
-            latents_std=tuple(vv.get("latents_std"))),
+            # fall back to the dataclass defaults (Wan-official stats) when
+            # the config.json omits the normalization tables
+            **({"latents_mean": tuple(vv["latents_mean"])}
+               if vv.get("latents_mean") is not None else {}),
+            **({"latents_std": tuple(vv["latents_std"])}
+               if vv.get("latents_std") is not None else {})),
         audio_vae=DACVAEConfig(
             encoder_dim=av.get("encoder_dim", 128),
             encoder_rates=tuple(av.get("encoder_rates", (2, 3, 4, 5, 8))),

@@ -31,18 +31,33 @@ from PIL import Image
 from dualforce_tpu.registry import DATASETS
 
 
+def _resample_f32(audio: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Linear resample (host-side load path; single definition)."""
+    if sr == target_sr:
+        return audio.astype(np.float32, copy=False)
+    t_old = np.arange(len(audio)) / sr
+    t_new = np.arange(int(len(audio) * target_sr / sr)) / target_sr
+    return np.interp(t_new, t_old, audio).astype(np.float32)
+
+
+_PCM_DTYPES = {1: (np.uint8, 128.0, 128.0), 2: ("<i2", 0.0, 32768.0),
+               4: ("<i4", 0.0, 2147483648.0)}
+
+
 def _load_wav(path: str, target_sr: int) -> np.ndarray:
     with wave.open(path, "rb") as f:
         sr = f.getframerate()
         n = f.getnframes()
-        raw = np.frombuffer(f.readframes(n), dtype="<i2").astype(np.float32) / 32768.0
+        width = f.getsampwidth()
+        if width not in _PCM_DTYPES:
+            raise ValueError(f"{path}: unsupported PCM sample width {width} "
+                             "(supported: 8/16/32-bit)")
+        dt, offset, scale = _PCM_DTYPES[width]
+        raw = (np.frombuffer(f.readframes(n), dtype=dt).astype(np.float32)
+               - offset) / scale
         if f.getnchannels() > 1:
             raw = raw.reshape(-1, f.getnchannels()).mean(axis=1)
-    if sr != target_sr:  # linear resample (host-side, load path only)
-        t_old = np.arange(len(raw)) / sr
-        t_new = np.arange(int(len(raw) * target_sr / sr)) / target_sr
-        raw = np.interp(t_new, t_old, raw).astype(np.float32)
-    return raw
+    return _resample_f32(raw, sr, target_sr)
 
 
 @DATASETS.register_module(name="VideoAudioDataset")
@@ -68,7 +83,8 @@ class VideoAudioDataset:
             video = data["video"]  # [T, H, W, 3] uint8
             audio = data["audio"].astype(np.float32)
             sr = int(data["sr"]) if "sr" in data else self.sample_rate
-            return list(video), audio, sr
+            clip_fps = float(data["fps"]) if "fps" in data else self.fps
+            return list(video), audio, sr, clip_fps
         if os.path.isdir(path):
             frame_files = sorted(
                 f for f in os.listdir(path)
@@ -77,14 +93,15 @@ class VideoAudioDataset:
                       for f in frame_files]
             wav = os.path.join(path, "audio.wav")
             audio = _load_wav(wav, self.sample_rate) if os.path.exists(wav) else None
-            return frames, audio, self.sample_rate
+            return frames, audio, self.sample_rate, self.fps
         raise ValueError(
             f"unsupported media {path!r}: use .npz clip shards or frame dirs "
             "(no video decoder in this environment; see tools/preprocess_clips.py)")
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         item = self.items[idx]
-        frames, audio, sr = self._load_media(self._resolve(item["video_path"]))
+        frames, audio, sr, clip_fps = self._load_media(
+            self._resolve(item["video_path"]))
 
         # sample/trim to num_frames (pad by repeating the last frame)
         if len(frames) < self.num_frames:
@@ -96,14 +113,19 @@ class VideoAudioDataset:
         frames_u8 = np.stack([np.asarray(f, np.uint8) for f in frames])
         video = native.resize_crop_normalize(frames_u8, self.height, self.width)
 
-        # pad/trim audio to sr * T / fps (video_audio_dataset.py:119-154)
+        # pad/trim audio to sr * T / fps (video_audio_dataset.py:119-154).
+        # Batch shapes must be static (jit), so every shard must share the
+        # dataset fps — a shard preprocessed at a different fps would
+        # otherwise train on silently desynchronized A/V.
+        if abs(clip_fps - self.fps) > 1e-3:
+            raise ValueError(
+                f"{item['video_path']}: shard fps {clip_fps} != dataset fps "
+                f"{self.fps}; re-run tools/preprocess_clips.py with "
+                f"--fps {self.fps}")
         target = int(self.sample_rate * self.num_frames / self.fps)
         if audio is None:
             audio = np.zeros((target,), np.float32)
-        if sr != self.sample_rate:
-            t_old = np.arange(len(audio)) / sr
-            t_new = np.arange(int(len(audio) * self.sample_rate / sr)) / self.sample_rate
-            audio = np.interp(t_new, t_old, audio).astype(np.float32)
+        audio = _resample_f32(audio, sr, self.sample_rate)
         if len(audio) < target:
             audio = np.pad(audio, (0, target - len(audio)))
         audio = audio[:target]
@@ -145,30 +167,41 @@ def make_data_iter(dataset, tokenizer, batch_size: int = 1, shuffle: bool = True
 
     idx_iter = order()
     lock = threading.Lock()
+    n_workers = max(num_workers, 1)
+    alive = [n_workers]  # lock-protected: only the LAST exiting worker
+    #                      sends the end sentinel, so in-flight batches from
+    #                      other workers are never dropped at epoch end
 
     def worker():
-        while not stop.is_set():
+        try:
+            while not stop.is_set():
+                with lock:
+                    batch_idx = []
+                    try:
+                        for _ in range(batch_size):
+                            batch_idx.append(next(idx_iter))
+                    except StopIteration:
+                        if not batch_idx:
+                            return
+                samples = [dataset[i] for i in batch_idx]
+                batch = collate(samples)
+                tok = tokenizer(batch.pop("caption"), padding="max_length",
+                                max_length=max_text_len, truncation=True,
+                                add_special_tokens=True, return_attention_mask=True,
+                                return_tensors="np")
+                batch["text_ids"] = tok["input_ids"]
+                batch["text_mask"] = tok["attention_mask"]
+                q.put(batch)
+        except BaseException as e:  # noqa: BLE001 — surface, don't hang
+            q.put(e)
+        finally:
             with lock:
-                batch_idx = []
-                try:
-                    for _ in range(batch_size):
-                        batch_idx.append(next(idx_iter))
-                except StopIteration:
-                    if not batch_idx:
-                        q.put(None)
-                        return
-            samples = [dataset[i] for i in batch_idx]
-            batch = collate(samples)
-            tok = tokenizer(batch.pop("caption"), padding="max_length",
-                            max_length=max_text_len, truncation=True,
-                            add_special_tokens=True, return_attention_mask=True,
-                            return_tensors="np")
-            batch["text_ids"] = tok["input_ids"]
-            batch["text_mask"] = tok["attention_mask"]
-            q.put(batch)
+                alive[0] -= 1
+                if alive[0] == 0:
+                    q.put(None)
 
     threads = [threading.Thread(target=worker, daemon=True)
-               for _ in range(max(num_workers, 1))]
+               for _ in range(n_workers)]
     for t in threads:
         t.start()
 
@@ -177,6 +210,8 @@ def make_data_iter(dataset, tokenizer, batch_size: int = 1, shuffle: bool = True
             batch = q.get()
             if batch is None:
                 break
+            if isinstance(batch, BaseException):
+                raise batch  # a prefetch worker failed; don't hang silently
             yield batch
     finally:
         stop.set()

@@ -124,8 +124,18 @@ class LoRATrainer:
         pt, ph, pw = self.cfg.video_dit.patch_size
         grid = (vl.shape[2] // pt, vl.shape[3] // ph, vl.shape[4] // pw)
         f = encoded["audio_latents"].shape[2] // self.cfg.audio_dit.patch_size
-        return make_rope_pack(self.cfg.video_dit, self.cfg.audio_dit,
-                              self.cfg.bridge, grid, f, self.tcfg.video_fps)
+        # memoize per geometry: the tables are ~90 MB at 360p and the dataset
+        # emits fixed-geometry clips — rebuilding + re-uploading per step
+        # would tax the hot loop for nothing
+        cache = getattr(self, "_rope_cache", None)
+        if cache is None:
+            cache = self._rope_cache = {}
+        key = (grid, f)
+        if key not in cache:
+            cache[key] = make_rope_pack(self.cfg.video_dit, self.cfg.audio_dit,
+                                        self.cfg.bridge, grid, f,
+                                        self.tcfg.video_fps)
+        return cache[key]
 
     # --- training loop ------------------------------------------------------
     def train(self, data_iter: Iterable[Dict[str, Any]]):

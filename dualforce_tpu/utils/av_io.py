@@ -67,8 +67,12 @@ def write_mjpeg_avi(path: str, video: np.ndarray, fps: float,
 
     avih = struct.pack("<14I", usec_per_frame, max_bytes * int(fps), 0, 0x10,
                        T, 0, n_streams, max_bytes, W, H, 0, 0, 0, 0)
+    # dwScale/dwRate as a 1000-denominator rational (23.976 fps must not
+    # truncate to 24 — PCM would drift on long clips); dwSampleSize MUST be 0
+    # for 'vids' streams (non-zero means fixed-size samples per the AVI spec)
     strh_v = (b"vids" + b"MJPG" + struct.pack("<I", 0) + struct.pack("<HH", 0, 0)
-              + struct.pack("<8I", 0, 1, int(round(fps)), 0, T, max_bytes, 0, T)
+              + struct.pack("<8I", 0, 1000, int(round(fps * 1000)), 0, T,
+                            max_bytes, 0, 0)
               + struct.pack("<4H", 0, 0, W, H))
     strf_v = struct.pack("<IiiHH4sIiiII", 40, W, H, 1, 24, b"MJPG",
                          W * H * 3, 0, 0, 0, 0)

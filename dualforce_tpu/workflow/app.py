@@ -89,17 +89,26 @@ def attach_ui(server, wf_cfg: WorkflowConfig | None = None):
         return web.Response(text=INDEX_HTML, content_type="text/html")
 
     async def full_workflow(request):
+        import asyncio
+
         body = await request.json()
         idea = body.get("idea", "")
         w, h = (int(x) for x in body.get("size", "640x352").split("x"))
+        # the LLM helpers are blocking urllib calls with minute-scale
+        # timeouts — run them in the default executor so the event loop
+        # (status polling, downloads) stays responsive
+        loop = asyncio.get_running_loop()
         # 1. first frame
-        image_bytes = generate_first_frame(idea, w, h, wf_cfg)
+        image_bytes = await loop.run_in_executor(
+            None, lambda: generate_first_frame(idea, w, h, wf_cfg))
         b64 = base64.b64encode(image_bytes).decode()
         # 2. element extraction feeds 3. prompt rewrite
-        elements = extract_visual_elements(b64, wf_cfg)
-        full_prompt = rewrite_prompt(
-            idea + ("\nVisual elements:\n" + elements if elements else ""),
-            wf_cfg, image_b64=b64)
+        elements = await loop.run_in_executor(
+            None, lambda: extract_visual_elements(b64, wf_cfg))
+        full_prompt = await loop.run_in_executor(
+            None, lambda: rewrite_prompt(
+                idea + ("\nVisual elements:\n" + elements if elements else ""),
+                wf_cfg, image_b64=b64))
         # 4. submit generation
         from dualforce_tpu.serving.server import Task
         import uuid
