@@ -1,0 +1,99 @@
+"""Regression tests for data-pipeline and AV-mux robustness findings."""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from dualforce_tpu.data.dataset import VideoAudioDataset, make_data_iter
+from dualforce_tpu.utils.av_io import save_video_with_audio
+
+
+class Tok:
+    def __call__(self, caps, **kw):
+        return {"input_ids": np.zeros((len(caps), 8), np.int64),
+                "attention_mask": np.ones((len(caps), 8), np.int64)}
+
+
+def _write_clip(path, frames=4, fps=24.0):
+    np.savez(path, video=np.zeros((frames, 32, 32, 3), np.uint8),
+             audio=np.zeros(8000, np.float32), fps=fps, sr=48000)
+
+
+def _dataset(tmp_path, items):
+    json.dump(items, open(tmp_path / "metadata.json", "w"))
+    return VideoAudioDataset(str(tmp_path / "metadata.json"), height=32,
+                             width=32, num_frames=4, fps=24.0,
+                             sample_rate=48000)
+
+
+def test_prefetch_worker_failure_surfaces(tmp_path):
+    """A corrupt shard must raise in the consumer, not hang the loop."""
+    (tmp_path / "broken.npz").write_bytes(b"not a zip")
+    ds = _dataset(tmp_path, [{"video_path": "broken.npz", "caption": "x"}])
+    it = make_data_iter(ds, Tok(), batch_size=1, num_workers=2, epochs=1)
+    with pytest.raises(Exception):
+        next(it)
+
+
+def test_fps_mismatch_rejected(tmp_path):
+    """Shards preprocessed at a different fps would silently desync A/V."""
+    _write_clip(tmp_path / "clip.npz", fps=16.0)
+    ds = _dataset(tmp_path, [{"video_path": "clip.npz", "caption": "x"}])
+    with pytest.raises(ValueError, match="fps"):
+        ds[0]
+
+
+def test_finite_epoch_delivers_all_batches(tmp_path):
+    """End-of-epoch with num_workers > 1: the sentinel must come after every
+    in-flight batch (the last exiting worker sends it)."""
+    items = []
+    for i in range(7):
+        _write_clip(tmp_path / f"ok{i}.npz")
+        items.append({"video_path": f"ok{i}.npz", "caption": f"c{i}"})
+    ds = _dataset(tmp_path, items)
+    batches = list(make_data_iter(ds, Tok(), batch_size=2, num_workers=3,
+                                  epochs=1))
+    assert sum(b["video"].shape[0] for b in batches) == 7
+
+
+def test_avi_header_spec(tmp_path):
+    """'vids' dwSampleSize must be 0 and fractional fps must not truncate."""
+    out = save_video_with_audio(str(tmp_path / "t.mp4"),
+                                np.zeros((5, 16, 16, 3), np.uint8),
+                                np.zeros(1000, np.float32),
+                                fps=23.976, sample_rate=48000)
+    data = open(out, "rb").read()
+    if not out.endswith(".avi"):
+        pytest.skip("ffmpeg present; mp4 path exercised instead")
+    i = data.find(b"vids")
+    strh = data[i:i + 56]
+    scale, rate = struct.unpack("<II", strh[20:28])
+    sample_size = struct.unpack("<I", strh[48:52])[0]
+    assert sample_size == 0
+    assert abs(rate / scale - 23.976) < 1e-3
+
+
+def test_wav_width_validation(tmp_path):
+    """Non-16-bit WAVs must decode correctly (8/32) or be rejected (24)."""
+    import wave
+
+    from dualforce_tpu.data.dataset import _load_wav
+
+    p = tmp_path / "a.wav"
+    with wave.open(str(p), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(3)  # 24-bit
+        f.setframerate(48000)
+        f.writeframes(b"\x00" * 300)
+    with pytest.raises(ValueError, match="width"):
+        _load_wav(str(p), 48000)
+
+    with wave.open(str(p), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(4)  # 32-bit int
+        f.setframerate(48000)
+        f.writeframes(np.full(100, 2**30, "<i4").tobytes())
+    audio = _load_wav(str(p), 48000)
+    np.testing.assert_allclose(audio, 0.5, atol=1e-6)

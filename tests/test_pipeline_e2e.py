@@ -153,6 +153,21 @@ def test_warmup_compiles_without_running():
     assert r2.video.shape == (9, 32, 32, 3)
 
 
+def test_dual_sigma_shift_not_sticky():
+    """A request WITH visual/audio shifts must not leak its sigma columns
+    into a later request WITHOUT them (scheduler postprocess is reset)."""
+    pipe = _build_pipeline()
+    img = np.random.default_rng(8).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    kw = dict(seed=2, height=32, width=32, num_frames=5,
+              num_inference_steps=2, cfg_scale=1.0)
+    base = pipe("hi", img, **kw)
+    shifted = pipe("hi", img, visual_shift=2.0, audio_shift=9.0, **kw)
+    assert not np.array_equal(shifted.audio, base.audio)
+    again = pipe("hi", img, **kw)   # must match the ORIGINAL, not the shifted
+    np.testing.assert_array_equal(again.video, base.video)
+    np.testing.assert_array_equal(again.audio, base.audio)
+
+
 def test_plan_boundary_switch():
     cfg = tiny_test_config()
     sched = FlowMatchPairScheduler(cfg.scheduler)
