@@ -37,7 +37,8 @@ from dualforce_tpu.engine.checkpoint import (
     save_checkpoint,
 )
 from dualforce_tpu.engine.logging import build_logger
-from dualforce_tpu.engine.optim import adamw, warmup_schedule
+from dualforce_tpu.engine.optim import adamw, warmup_schedule  # noqa: F401 (registers)
+from dualforce_tpu.registry import OPTIMIZERS
 
 
 @dataclass
@@ -60,6 +61,7 @@ class TrainerConfig:
     remat: bool = True
     compute_dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    optimizer: str = "AdamW"   # OPTIMIZERS registry name (e.g. "AdamW8bit")
 
 
 class LoRATrainer:
@@ -79,10 +81,14 @@ class LoRATrainer:
         schedule = warmup_schedule(tcfg.lr, tcfg.warmup_steps, tcfg.max_steps,
                                    tcfg.lr_schedule)
         self._schedule = schedule
-        self.optimizer = adamw(lr=tcfg.lr, betas=tcfg.betas,
-                               weight_decay=tcfg.weight_decay,
-                               max_grad_norm=tcfg.max_grad_norm,
-                               schedule=schedule)
+        # registry dispatch: "AdamW" (default) or "AdamW8bit" (block-wise
+        # int8 moments, the bnb low-resource setup) — trainer.optimizer in
+        # configs (accelerate_train.py's OPTIMIZERS registry equivalent)
+        opt_factory = OPTIMIZERS.get(tcfg.optimizer)
+        self.optimizer = opt_factory(lr=tcfg.lr, betas=tcfg.betas,
+                                     weight_decay=tcfg.weight_decay,
+                                     max_grad_norm=tcfg.max_grad_norm,
+                                     schedule=schedule)
         self.opt_state = self.optimizer.init(self.lora)
         self.global_step = 0
         self.logger = build_logger(tcfg.logger, tcfg.save_dir, is_main)
