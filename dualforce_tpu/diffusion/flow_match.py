@@ -239,3 +239,54 @@ class FlowMatchPairScheduler(FlowMatchScheduler):
         vis = np.array([self.timestep_to_sigma(t) for t in pairs[:, 0]] + [terminal], np.float32)
         aud = np.array([self.timestep_to_sigma(t) for t in pairs[:, 1]] + [terminal], np.float32)
         return vis, aud
+
+
+@DIFFUSION_SCHEDULERS.register_module()
+class FlowMatchEulerDiscreteScheduler:
+    """Diffusers-API flow-match Euler scheduler.
+
+    The reference registers diffusers' FlowMatchEulerDiscreteScheduler into
+    its scheduler registry (mova/diffusion/schedulers/__init__.py:1-10) so
+    configs can select it by name; this is the dependency-free equivalent
+    with the same API surface (set_timesteps(N), .timesteps/.sigmas arrays,
+    step(..., return_dict=False) -> (prev_sample,), scale_noise) and the same
+    math: sigmas = t/1000 warped by `shift`, terminal sigma 0 appended.
+    """
+
+    def __init__(self, num_train_timesteps: int = 1000, shift: float = 1.0,
+                 **_ignored):
+        self.num_train_timesteps = num_train_timesteps
+        self.shift = shift
+        t = np.linspace(1, num_train_timesteps, num_train_timesteps,
+                        dtype=np.float64)[::-1]
+        self._set_from_sigmas(t / num_train_timesteps)
+
+    def _set_from_sigmas(self, sigmas: np.ndarray) -> None:
+        sigmas = self.shift * sigmas / (1 + (self.shift - 1) * sigmas)
+        self.timesteps = (sigmas * self.num_train_timesteps).astype(np.float32)
+        self.sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+        self._step_index = None
+
+    def set_timesteps(self, num_inference_steps: int) -> None:
+        self.num_inference_steps = num_inference_steps
+        sigmas = np.linspace(1.0, 1.0 / self.num_train_timesteps,
+                             num_inference_steps, dtype=np.float64)
+        self._set_from_sigmas(sigmas)
+
+    def index_for_timestep(self, timestep: float) -> int:
+        return int(np.argmin(np.abs(self.timesteps - float(timestep))))
+
+    def scale_noise(self, sample, timestep, noise):
+        sigma = float(self.sigmas[self.index_for_timestep(timestep)])
+        return (1 - sigma) * sample + sigma * noise
+
+    def step(self, model_output, timestep: float, sample,
+             return_dict: bool = False):
+        i = (self._step_index if self._step_index is not None
+             else self.index_for_timestep(timestep))
+        prev = sample + model_output * (self.sigmas[i + 1] - self.sigmas[i])
+        self._step_index = i + 1
+        if return_dict:
+            raise NotImplementedError("return_dict output objects unsupported; "
+                                      "call with return_dict=False")
+        return (prev,)

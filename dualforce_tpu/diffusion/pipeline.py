@@ -175,9 +175,9 @@ class MOVAPipeline:
     # --- denoise ------------------------------------------------------------
     def _get_denoise(self, plan: SamplePlan, cfg_scale: float, video_fps: float,
                      cfg_batch: bool, phase: Optional[Tuple[int, int]] = None,
-                     cfg_cache_interval: int = 1):
+                     cfg_cache_interval: int = 1, cfg_scale_bridge: float = 0.0):
         key = (plan.num_steps, plan.boundary_step, cfg_scale, video_fps, cfg_batch,
-               phase, cfg_cache_interval,
+               phase, cfg_cache_interval, cfg_scale_bridge,
                tuple(np.asarray(plan.pair_timesteps).ravel().tolist()),
                tuple(np.asarray(plan.sigmas_visual).tolist()),
                tuple(np.asarray(plan.sigmas_audio).tolist()))
@@ -192,7 +192,8 @@ class MOVAPipeline:
                         plan, cfg_scale=cfg_scale, video_fps=video_fps,
                         cfg_batch=cfg_batch, compute_dtype=self.compute_dtype,
                         attn_impl=self.attn_impl, rope_pack=rope_pack,
-                        cfg_cache_interval=cfg_cache_interval)
+                        cfg_cache_interval=cfg_cache_interval,
+                        cfg_scale_bridge=cfg_scale_bridge)
             else:
                 start, stop = phase
 
@@ -205,7 +206,8 @@ class MOVAPipeline:
                         plan, start, stop, cfg_scale=cfg_scale, video_fps=video_fps,
                         cfg_batch=cfg_batch, compute_dtype=self.compute_dtype,
                         attn_impl=self.attn_impl, rope_pack=rope_pack,
-                        cfg_cache_interval=cfg_cache_interval)
+                        cfg_cache_interval=cfg_cache_interval,
+                        cfg_scale_bridge=cfg_scale_bridge)
 
             jit_fn = jax.jit(run)
             warm: Dict[Tuple, Any] = {}
@@ -224,7 +226,8 @@ class MOVAPipeline:
                num_inference_steps: int = 50, sigma_shift: float = 5.0,
                cfg_scale: float = 5.0, video_fps: float = 24.0,
                batch_size: int = 1, cfg_batch: bool = False,
-               cfg_cache_interval: int = 1) -> None:
+               cfg_cache_interval: int = 1,
+               cfg_scale_bridge: float = 0.0) -> None:
         """AOT-compile the denoise program for a geometry bucket WITHOUT
         running it (serving startup; first request then executes the cached
         executable instead of paying a multi-minute compile)."""
@@ -263,7 +266,8 @@ class MOVAPipeline:
         params_abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params)
         run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch,
-                                cfg_cache_interval=cfg_cache_interval)
+                                cfg_cache_interval=cfg_cache_interval,
+                                cfg_scale_bridge=cfg_scale_bridge)
         args = (params_abstract["video_dit"], params_abstract.get("video_dit_2"),
                 params_abstract["audio_dit"], params_abstract["bridge"],
                 abstract["latents"], abstract["condition"],
@@ -291,6 +295,7 @@ class MOVAPipeline:
         cfg_scale: float = 5.0,
         cfg_batch: bool = False,
         cfg_cache_interval: int = 1,
+        cfg_scale_bridge: float = 0.0,
     ) -> List[GenerationResult]:
         """Batch of same-geometry requests through ONE denoise program — the
         serving-side continuous-batching unit (the jitted sampler is batch-
@@ -332,7 +337,8 @@ class MOVAPipeline:
 
         latents, audio_latents = self._denoise(
             plan, latents, condition, audio_latents, ctx_pos, ctx_neg,
-            cfg_scale, video_fps, cfg_batch, cfg_cache_interval)
+            cfg_scale, video_fps, cfg_batch, cfg_cache_interval,
+            cfg_scale_bridge)
 
         results = []
         # stage the VAEs ONCE around the whole batch (offload mode would
@@ -348,7 +354,8 @@ class MOVAPipeline:
         return results
 
     def _denoise(self, plan, latents, condition, audio_latents, ctx_pos,
-                 ctx_neg, cfg_scale, video_fps, cfg_batch, cfg_cache_interval):
+                 ctx_neg, cfg_scale, video_fps, cfg_batch, cfg_cache_interval,
+                 cfg_scale_bridge=0.0):
         vcfg = self.cfg.video_dit
         pt, ph, pw = vcfg.patch_size
         grid = (latents.shape[2] // pt, latents.shape[3] // ph,
@@ -358,7 +365,8 @@ class MOVAPipeline:
 
         if self.offload == "none":
             run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch,
-                                    cfg_cache_interval=cfg_cache_interval)
+                                    cfg_cache_interval=cfg_cache_interval,
+                                    cfg_scale_bridge=cfg_scale_bridge)
             return run(
                 self.params["video_dit"], self.params.get("video_dit_2"),
                 self.params["audio_dit"], self.params["bridge"],
@@ -376,7 +384,8 @@ class MOVAPipeline:
                 with self._staged(tower) as p:
                     run = self._get_denoise(plan, cfg_scale, video_fps,
                                             cfg_batch, phase=(start, stop),
-                                            cfg_cache_interval=cfg_cache_interval)
+                                            cfg_cache_interval=cfg_cache_interval,
+                                            cfg_scale_bridge=cfg_scale_bridge)
                     latents, audio_latents = run(
                         p[tower], shared["audio_dit"], shared["bridge"],
                         latents, condition, audio_latents, ctx_pos,
@@ -401,6 +410,7 @@ class MOVAPipeline:
         cfg_scale: float = 5.0,
         cfg_batch: bool = False,
         cfg_cache_interval: int = 1,
+        cfg_scale_bridge: float = 0.0,
     ) -> GenerationResult:
         return self.generate(
             [prompt], [image], negative_prompts=[negative_prompt], seeds=[seed],
@@ -408,7 +418,8 @@ class MOVAPipeline:
             video_fps=video_fps, num_inference_steps=num_inference_steps,
             sigma_shift=sigma_shift, visual_shift=visual_shift,
             audio_shift=audio_shift, cfg_scale=cfg_scale, cfg_batch=cfg_batch,
-            cfg_cache_interval=cfg_cache_interval)[0]
+            cfg_cache_interval=cfg_cache_interval,
+            cfg_scale_bridge=cfg_scale_bridge)[0]
 
     def decode(self, latents: jnp.ndarray, audio_latents: jnp.ndarray):
         """latents [1,16,F,h,w] -> uint8 video; audio latents -> waveform."""

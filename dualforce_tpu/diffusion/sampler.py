@@ -14,7 +14,13 @@ TPU-first differences:
     no nearest-timestep search at runtime);
   - CFG runs either as a second pass (memory-lean, reference behavior) or
     batched along the batch axis in a single pass (`cfg_batch=True`, better
-    MXU utilization — the reference's unimplemented `cfg_merge`).
+    MXU utilization — the reference's unimplemented `cfg_merge`);
+  - DUAL CFG (`cfg_scale_bridge` = the paper's s_B; the reference accepts
+    cfg_mode="dual" but raises NotImplementedError, pipeline_mova.py:461-462):
+    a third pass with the cross-modal bridge disabled (condition_scale=0)
+    yields a guidance direction toward cross-modal agreement:
+        pred = neg + s_T*(pos - neg) + s_B*(pos - pos_nobridge)
+    With s_B=0 this reduces exactly to text CFG.
 """
 
 from __future__ import annotations
@@ -83,6 +89,7 @@ def denoise_range(
     attn_impl: str = "auto",
     rope_pack=None,
     cfg_cache_interval: int = 1,
+    cfg_scale_bridge: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Steps [start, stop) of the paired flow-match loop with a single video
     expert. The component-offload path runs the two expert phases as separate
@@ -93,7 +100,8 @@ def denoise_range(
         condition, audio_latents, ctx_pos, ctx_neg, plan,
         cfg_scale=cfg_scale, video_fps=video_fps, cfg_batch=cfg_batch,
         compute_dtype=compute_dtype, attn_impl=attn_impl, rope_pack=rope_pack,
-        cfg_cache_interval=cfg_cache_interval, _range=(start, stop))
+        cfg_cache_interval=cfg_cache_interval,
+        cfg_scale_bridge=cfg_scale_bridge, _range=(start, stop))
 
 
 def denoise_loop(
@@ -115,12 +123,14 @@ def denoise_loop(
     attn_impl: str = "auto",
     rope_pack=None,
     cfg_cache_interval: int = 1,
+    cfg_scale_bridge: float = 0.0,
     _range: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     pair_t = jnp.asarray(plan.pair_timesteps)     # [N, 2]
     sig_v = jnp.asarray(plan.sigmas_visual)       # [N+1]
     sig_a = jnp.asarray(plan.sigmas_audio)
     use_cfg = (cfg_scale != 1.0) and (ctx_neg is not None)
+    use_dual = cfg_scale_bridge != 0.0
     b = latents.shape[0]
     cache_neg = use_cfg and cfg_cache_interval > 1
     if cache_neg and cfg_batch:
@@ -130,33 +140,49 @@ def denoise_loop(
     if use_cfg and cfg_batch:
         ctx_both = jnp.concatenate([ctx_pos, ctx_neg], axis=0)
 
-    def run_tower(video_params, ctx, mi, al, tt, att):
+    def run_tower(video_params, ctx, mi, al, tt, att, bridge_scale=1.0):
         return dual_tower_step(
             video_params, audio_params, bridge_params,
             cfg.video_dit, cfg.audio_dit, cfg.bridge,
             mi, al, ctx, tt, att,
             video_fps=video_fps, compute_dtype=compute_dtype,
-            attn_impl=attn_impl, rope_pack=rope_pack)
+            attn_impl=attn_impl, rope_pack=rope_pack,
+            condition_scale=bridge_scale)
+
+    def bridge_guidance(video_params, model_in, alat, t, at, v_pos, a_pos):
+        """s_B * (pos - pos_with_bridge_off): the direction the bridge pulls
+        each modality, amplified — guidance toward cross-modal agreement."""
+        v_nb, a_nb = run_tower(video_params, ctx_pos, model_in, alat, t, at,
+                               bridge_scale=0.0)
+        return (cfg_scale_bridge * (v_pos - v_nb.astype(jnp.float32)),
+                cfg_scale_bridge * (a_pos - a_nb.astype(jnp.float32)))
 
     def predict(video_params, lat, alat, t, at):
         model_in = jnp.concatenate([lat, condition], axis=1)
         if not use_cfg:
             v, a = run_tower(video_params, ctx_pos, model_in, alat, t, at)
-            return v.astype(jnp.float32), a.astype(jnp.float32)
-        if cfg_batch:
-            mi2 = jnp.concatenate([model_in, model_in], axis=0)
-            al2 = jnp.concatenate([alat, alat], axis=0)
-            v, a = run_tower(video_params, ctx_both, mi2, al2,
-                             jnp.tile(t, 2), jnp.tile(at, 2))
-            v_pos, v_neg = v[:b].astype(jnp.float32), v[b:].astype(jnp.float32)
-            a_pos, a_neg = a[:b].astype(jnp.float32), a[b:].astype(jnp.float32)
+            v_pos, a_pos = v.astype(jnp.float32), a.astype(jnp.float32)
+            v_pred, a_pred = v_pos, a_pos
         else:
-            v_pos, a_pos = run_tower(video_params, ctx_pos, model_in, alat, t, at)
-            v_neg, a_neg = run_tower(video_params, ctx_neg, model_in, alat, t, at)
-            v_pos, a_pos = v_pos.astype(jnp.float32), a_pos.astype(jnp.float32)
-            v_neg, a_neg = v_neg.astype(jnp.float32), a_neg.astype(jnp.float32)
-        return (v_neg + cfg_scale * (v_pos - v_neg),
-                a_neg + cfg_scale * (a_pos - a_neg))
+            if cfg_batch:
+                mi2 = jnp.concatenate([model_in, model_in], axis=0)
+                al2 = jnp.concatenate([alat, alat], axis=0)
+                v, a = run_tower(video_params, ctx_both, mi2, al2,
+                                 jnp.tile(t, 2), jnp.tile(at, 2))
+                v_pos, v_neg = v[:b].astype(jnp.float32), v[b:].astype(jnp.float32)
+                a_pos, a_neg = a[:b].astype(jnp.float32), a[b:].astype(jnp.float32)
+            else:
+                v_pos, a_pos = run_tower(video_params, ctx_pos, model_in, alat, t, at)
+                v_neg, a_neg = run_tower(video_params, ctx_neg, model_in, alat, t, at)
+                v_pos, a_pos = v_pos.astype(jnp.float32), a_pos.astype(jnp.float32)
+                v_neg, a_neg = v_neg.astype(jnp.float32), a_neg.astype(jnp.float32)
+            v_pred = v_neg + cfg_scale * (v_pos - v_neg)
+            a_pred = a_neg + cfg_scale * (a_pos - a_neg)
+        if use_dual:
+            v_g, a_g = bridge_guidance(video_params, model_in, alat, t, at,
+                                       v_pos, a_pos)
+            v_pred, a_pred = v_pred + v_g, a_pred + a_g
+        return v_pred, a_pred
 
     def predict_cached(video_params, lat, alat, t, at, i, phase_start,
                        v_negc, a_negc):
@@ -177,8 +203,13 @@ def denoise_loop(
 
         v_neg, a_neg = jax.lax.cond(
             refresh, compute_neg, lambda _: (v_negc, a_negc), None)
-        return (v_neg + cfg_scale * (v_pos - v_neg),
-                a_neg + cfg_scale * (a_pos - a_neg), v_neg, a_neg)
+        v_pred = v_neg + cfg_scale * (v_pos - v_neg)
+        a_pred = a_neg + cfg_scale * (a_pos - a_neg)
+        if use_dual:
+            v_g, a_g = bridge_guidance(video_params, model_in, alat, t, at,
+                                       v_pos, a_pos)
+            v_pred, a_pred = v_pred + v_g, a_pred + a_g
+        return v_pred, a_pred, v_neg, a_neg
 
     def make_body(video_params, phase_start):
         def body(i, carry):

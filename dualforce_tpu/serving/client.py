@@ -87,7 +87,8 @@ class VideoClient:
     def submit_video_task(
         self, prompt: str, image_bytes: bytes, *, size: str = "640x352",
         num_frames: int = 193, fps: float = 24.0, seed: int = 42,
-        guidance_scale: float = 5.0, num_inference_steps: int = 50,
+        guidance_scale: float = 5.0, guidance_scale_bridge: float = 0.0,
+        num_inference_steps: int = 50,
         negative_prompt: str = "",
     ) -> VideoTask:
         resp = self._post_multipart(
@@ -95,6 +96,7 @@ class VideoClient:
             {"prompt": prompt, "size": size, "num_frames": str(num_frames),
              "fps": str(fps), "seed": str(seed),
              "guidance_scale": str(guidance_scale),
+             "guidance_scale_bridge": str(guidance_scale_bridge),
              "num_inference_steps": str(num_inference_steps),
              "negative_prompt": negative_prompt},
             file_field="input_reference", file_bytes=image_bytes)

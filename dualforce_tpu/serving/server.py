@@ -123,7 +123,8 @@ def make_pipeline_batch_backend(pipe) -> Callable:
             height=h, width=w, num_frames=p0.get("num_frames", 193),
             video_fps=p0.get("fps", 24.0),
             num_inference_steps=p0.get("num_inference_steps", 50),
-            cfg_scale=p0.get("guidance_scale", 5.0))
+            cfg_scale=p0.get("guidance_scale", 5.0),
+            cfg_scale_bridge=p0.get("guidance_scale_bridge", 0.0))
         peak = hbm_stats().get("peak_bytes_in_use", 0) / 1e6
         out = []
         for t, r in zip(tasks, results):
@@ -141,7 +142,7 @@ def _geom_key(task: Task):
     p = task.params
     return (p.get("height"), p.get("width"), p.get("num_frames"),
             p.get("num_inference_steps"), p.get("guidance_scale"),
-            p.get("fps"))
+            p.get("guidance_scale_bridge"), p.get("fps"))
 
 
 class VideoServer:
@@ -264,6 +265,7 @@ class VideoServer:
             fps = float(fields.get("fps", 24.0))
             seed = int(fields.get("seed", 42))
             guidance = float(fields.get("guidance_scale", 5.0))
+            guidance_bridge = float(fields.get("guidance_scale_bridge", 0.0))
             steps = int(fields.get("num_inference_steps", 50))
         except (ValueError, TypeError) as e:
             return web.json_response(
@@ -278,6 +280,7 @@ class VideoServer:
                 "fps": fps,
                 "seed": seed,
                 "guidance_scale": guidance,
+                "guidance_scale_bridge": guidance_bridge,
                 "num_inference_steps": steps,
                 "image_hex": image_bytes.hex(),
             })

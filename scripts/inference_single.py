@@ -33,6 +33,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--cfg_scale", type=float, default=5.0)
+    p.add_argument("--cfg_scale_bridge", type=float, default=0.0,
+                   help="dual-CFG cross-modal guidance s_B (paper uses 3.5; "
+                        "reference's cfg_mode='dual' is unimplemented there); "
+                        "0 disables the third bridge-off pass")
     p.add_argument("--sigma_shift", type=float, default=5.0)
     p.add_argument("--visual_shift", type=float, default=None)
     p.add_argument("--audio_shift", type=float, default=None)
@@ -121,7 +125,8 @@ def main():
                 sigma_shift=args.sigma_shift, visual_shift=args.visual_shift,
                 audio_shift=args.audio_shift, cfg_scale=args.cfg_scale,
                 cfg_batch=args.cfg_batch,
-                cfg_cache_interval=args.cfg_cache_interval)
+                cfg_cache_interval=args.cfg_cache_interval,
+                cfg_scale_bridge=args.cfg_scale_bridge)
 
     out = save_video_with_audio(args.output, result.video, result.audio,
                                 fps=result.fps, sample_rate=result.sample_rate)

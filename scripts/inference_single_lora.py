@@ -32,6 +32,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--cfg_scale", type=float, default=5.0)
+    p.add_argument("--cfg_scale_bridge", type=float, default=0.0,
+                   help="dual-CFG cross-modal guidance s_B (paper uses 3.5; "
+                        "reference's cfg_mode='dual' is unimplemented there); "
+                        "0 disables the third bridge-off pass")
     p.add_argument("--sigma_shift", type=float, default=5.0)
     p.add_argument("--cp_size", type=int, default=1)
     p.add_argument("--fsdp_size", type=int, default=1)
@@ -74,7 +78,8 @@ def main():
         negative_prompt=args.negative_prompt, seed=args.seed,
         height=args.height, width=args.width, num_frames=args.num_frames,
         video_fps=args.fps, num_inference_steps=args.num_inference_steps,
-        sigma_shift=args.sigma_shift, cfg_scale=args.cfg_scale)
+        sigma_shift=args.sigma_shift, cfg_scale=args.cfg_scale,
+        cfg_scale_bridge=args.cfg_scale_bridge)
     out = save_video_with_audio(args.output, result.video, result.audio,
                                 fps=result.fps, sample_rate=result.sample_rate)
     print(f"[done] saved {out}")

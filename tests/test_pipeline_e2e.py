@@ -178,3 +178,39 @@ def test_plan_boundary_switch():
     assert (ts[:b] >= 900).all() and (ts[b:] < 900).all()
     # sigma columns align with timesteps
     np.testing.assert_allclose(plan.sigmas_visual[:-1] * 1000, ts, rtol=1e-4)
+
+
+def test_dual_cfg():
+    """Dual CFG (cfg_scale_bridge = the paper's s_B): s_B=0 must be EXACTLY
+    text CFG; s_B!=0 adds a bridge-off third pass that changes the output;
+    composition with cfg_batch and cfg_cache_interval stays finite and
+    deterministic."""
+    pipe = _build_pipeline()
+    image = np.random.default_rng(9).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    kw = dict(seed=13, height=32, width=32, num_frames=5,
+              num_inference_steps=3, cfg_scale=5.0)
+    base = pipe("hello", image, **kw)
+    zero = pipe("hello", image, cfg_scale_bridge=0.0, **kw)
+    np.testing.assert_array_equal(zero.video, base.video)
+    np.testing.assert_array_equal(zero.audio, base.audio)
+
+    dual = pipe("hello", image, cfg_scale_bridge=3.5, **kw)
+    assert np.isfinite(dual.audio).all()
+    assert not np.array_equal(dual.video, base.video)
+    dual2 = pipe("hello", image, cfg_scale_bridge=3.5, **kw)
+    np.testing.assert_array_equal(dual.video, dual2.video)
+
+    # batched CFG composes with the dual term (fp32-tight vs two-pass)
+    dual_b = pipe("hello", image, cfg_scale_bridge=3.5, cfg_batch=True, **kw)
+    np.testing.assert_allclose(dual_b.audio, dual.audio, atol=1e-4)
+    assert np.mean(np.abs(dual_b.video.astype(int) - dual.video.astype(int))) < 1.0
+
+    # cached-negative CFG composes with the dual term
+    dual_c = pipe("hello", image, cfg_scale_bridge=3.5, cfg_cache_interval=2, **kw)
+    assert np.isfinite(dual_c.audio).all()
+
+    # dual guidance without text CFG (cfg_scale=1): only pos + bridge-off passes
+    kw1 = dict(kw, cfg_scale=1.0)
+    plain = pipe("hello", image, **kw1)
+    dual_only = pipe("hello", image, cfg_scale_bridge=2.0, **kw1)
+    assert not np.array_equal(dual_only.video, plain.video)

@@ -119,3 +119,38 @@ def test_pair_sigma_columns_consistent_with_step_from_to():
         want = ours.step_from_to(v, float(pairs[i, 0]), t_to, x)
         got = x + v * (vis[i + 1] - vis[i])
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_flow_match_euler_discrete():
+    """Diffusers-API scheduler (registered by name like the reference's
+    schedulers/__init__.py:1-10): shift-warped sigmas, Euler integration of a
+    constant velocity field recovers the endpoint exactly."""
+    import numpy as np
+
+    from dualforce_tpu.diffusion.flow_match import FlowMatchEulerDiscreteScheduler
+    from dualforce_tpu.registry import DIFFUSION_SCHEDULERS
+
+    assert "FlowMatchEulerDiscreteScheduler" in DIFFUSION_SCHEDULERS
+
+    s = FlowMatchEulerDiscreteScheduler(shift=3.0)
+    s.set_timesteps(25)
+    assert s.timesteps.shape == (25,) and s.sigmas.shape == (26,)
+    assert s.sigmas[0] == 1.0 and s.sigmas[-1] == 0.0
+    # shift warp: sigma' = s*sigma/(1+(s-1)*sigma) of linspace(1, 1/1000, 25)
+    lin = np.linspace(1.0, 1e-3, 25)
+    np.testing.assert_allclose(s.sigmas[:-1], 3 * lin / (1 + 2 * lin), rtol=1e-6)
+
+    # x_t = (1-sigma)x0 + sigma*n; stepping v = n - x0 from sigma=1 hits x0+... 
+    x0, n = np.float64(0.25), np.float64(-1.5)
+    x = s.scale_noise(x0, s.timesteps[0], n)
+    assert np.isclose(x, n)          # sigma(t_max) = 1
+    v = n - x0
+    for t in s.timesteps:
+        (x,) = s.step(v, t, x)
+    np.testing.assert_allclose(x, x0, atol=1e-6)
+
+    # scale_noise at an interior timestep uses the matching sigma
+    t5 = s.timesteps[5]
+    np.testing.assert_allclose(
+        s.scale_noise(x0, t5, n),
+        (1 - s.sigmas[5]) * x0 + s.sigmas[5] * n, rtol=1e-6)
