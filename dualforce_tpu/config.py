@@ -142,6 +142,10 @@ class DACVAEConfig:
     latent_dim: int = 128
     sample_rate: int = 48000
     continuous: bool = True
+    # RVQ (discrete) mode, continuous=False (dac_vae.py:810-827 defaults)
+    n_codebooks: int = 9
+    codebook_size: int = 1024
+    codebook_dim: int = 8
 
     @property
     def hop_length(self) -> int:

@@ -197,12 +197,25 @@ def convert_dac(sd: StateDict, cfg) -> Dict:
     dec["snake_out"] = _snake(sd, f"decoder.model.{1 + n_dec}")
     dec["conv_out"] = _wn_conv1d(sd, f"decoder.model.{2 + n_dec}")
 
-    return {
-        "encoder": enc,
-        "decoder": dec,
-        "quant_conv": _wn_conv1d(sd, "quant_conv"),
-        "post_quant_conv": _wn_conv1d(sd, "post_quant_conv"),
-    }
+    out = {"encoder": enc, "decoder": dec}
+    if "quant_conv.weight" in sd or "quant_conv.weight_g" in sd:
+        # continuous (KL) mode — shipped by MOVA
+        out["quant_conv"] = _wn_conv1d(sd, "quant_conv")
+        out["post_quant_conv"] = _wn_conv1d(sd, "post_quant_conv")
+    else:
+        # RVQ mode (dac_vae.py:346-365: WNConv1d projections + Embedding)
+        quantizers = []
+        i = 0
+        while f"quantizer.quantizers.{i}.codebook.weight" in sd:
+            pre = f"quantizer.quantizers.{i}"
+            quantizers.append({
+                "in_proj": _wn_conv1d(sd, f"{pre}.in_proj"),
+                "out_proj": _wn_conv1d(sd, f"{pre}.out_proj"),
+                "codebook": _np(sd[f"{pre}.codebook.weight"]),
+            })
+            i += 1
+        out["quantizer"] = quantizers
+    return out
 
 
 def convert_bridge(sd: StateDict, cfg: BridgeConfig) -> Dict:

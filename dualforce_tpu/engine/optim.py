@@ -140,3 +140,67 @@ def adamw_8bit(lr=1e-4, betas=(0.9, 0.999), eps=1e-8, weight_decay=1e-2,
     if max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     return tx
+
+
+# ---------------------------------------------------------------------------
+# Auto-registration of the optax optimizer family under torch-style names
+# (the reference auto-registers every torch.optim class into OPTIMIZERS,
+# torch_optimizers.py:7-24, so configs can pick any by `type=`; same here).
+# Each factory takes (lr | schedule, max_grad_norm, torch-style kwargs) and
+# returns an optax GradientTransformation with optional global-norm clipping.
+# ---------------------------------------------------------------------------
+
+def _register_optax(name: str, make):
+    def factory(lr=1e-4, max_grad_norm: Optional[float] = 1.0, schedule=None,
+                **kw):
+        tx = make(schedule if schedule is not None else lr, kw)
+        if kw:
+            raise TypeError(f"{name}: unknown kwargs {sorted(kw)}")
+        if max_grad_norm:
+            tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+        return tx
+
+    factory.__name__ = name.lower()
+    OPTIMIZERS.register_module(name=name, module=factory)
+    return factory
+
+
+def _betas(kw, default=(0.9, 0.999)):
+    b1, b2 = kw.pop("betas", default)
+    return {"b1": b1, "b2": b2}
+
+
+_register_optax("Adam", lambda lr, kw: optax.adam(
+    lr, **_betas(kw), eps=kw.pop("eps", 1e-8)))
+_register_optax("Adamax", lambda lr, kw: optax.adamax(
+    lr, **_betas(kw), eps=kw.pop("eps", 1e-8)))
+_register_optax("NAdam", lambda lr, kw: optax.nadam(
+    lr, **_betas(kw), eps=kw.pop("eps", 1e-8)))
+_register_optax("NAdamW", lambda lr, kw: optax.nadamw(
+    lr, **_betas(kw), eps=kw.pop("eps", 1e-8),
+    weight_decay=kw.pop("weight_decay", 1e-2)))
+_register_optax("RAdam", lambda lr, kw: optax.radam(
+    lr, **_betas(kw), eps=kw.pop("eps", 1e-8)))
+_register_optax("AdaBelief", lambda lr, kw: optax.adabelief(
+    lr, **_betas(kw), eps=kw.pop("eps", 1e-16)))
+_register_optax("SGD", lambda lr, kw: optax.sgd(
+    lr, momentum=kw.pop("momentum", None), nesterov=kw.pop("nesterov", False)))
+_register_optax("RMSprop", lambda lr, kw: optax.rmsprop(
+    lr, decay=kw.pop("alpha", 0.9), eps=kw.pop("eps", 1e-8),
+    momentum=kw.pop("momentum", None) or None))
+_register_optax("Adagrad", lambda lr, kw: optax.adagrad(
+    lr, initial_accumulator_value=kw.pop("initial_accumulator_value", 0.1),
+    eps=kw.pop("eps", 1e-7)))
+_register_optax("Adadelta", lambda lr, kw: optax.adadelta(
+    lr, rho=kw.pop("rho", 0.9), eps=kw.pop("eps", 1e-6),
+    weight_decay=kw.pop("weight_decay", 0.0)))
+_register_optax("Lion", lambda lr, kw: optax.lion(
+    lr, **_betas(kw, (0.9, 0.99)), weight_decay=kw.pop("weight_decay", 1e-3)))
+_register_optax("LAMB", lambda lr, kw: optax.lamb(
+    lr, **_betas(kw), eps=kw.pop("eps", 1e-6),
+    weight_decay=kw.pop("weight_decay", 0.0)))
+_register_optax("Adafactor", lambda lr, kw: optax.adafactor(
+    lr, weight_decay_rate=kw.pop("weight_decay", None)))
+_register_optax("Novograd", lambda lr, kw: optax.novograd(
+    lr, **_betas(kw, (0.9, 0.25)), eps=kw.pop("eps", 1e-8),
+    weight_decay=kw.pop("weight_decay", 0.0)))

@@ -179,20 +179,129 @@ def decoder_apply(p, cfg: DACVAEConfig, z):
 
 
 # ---------------------------------------------------------------------------
-# full VAE (continuous mode)
+# residual vector quantizer (RVQ / discrete mode, continuous=False)
+#
+# Behavioural reference: VectorQuantize / ResidualVectorQuantize
+# (dac_vae.py:346-588): factorized codes (1x1 in/out projections to a low-dim
+# codebook space), l2-normalized nearest-neighbour lookup (cosine), residual
+# stacking over n_codebooks, straight-through gradient estimator.
+# ---------------------------------------------------------------------------
+
+def vq_init(key, input_dim: int, codebook_size: int, codebook_dim: int,
+            dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "in_proj": _conv_init(k1, 1, input_dim, codebook_dim, dtype),
+        "out_proj": _conv_init(k2, 1, codebook_dim, input_dim, dtype),
+        "codebook": (jax.random.normal(k3, (codebook_size, codebook_dim),
+                                       jnp.float32) .astype(dtype)),
+    }
+
+
+def _l2n(x, axis=-1):
+    return x * jax.lax.rsqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+                             + 1e-12)
+
+
+def vq_decode_latents(p, z_e):
+    """z_e: [B, T, D_cb] -> (z_q [B, T, D_cb], indices [B, T]). Nearest
+    neighbour under l2-normalization == cosine similarity (dac_vae.py:413-433)."""
+    enc = _l2n(z_e.astype(jnp.float32))
+    cb = _l2n(p["codebook"].astype(jnp.float32))
+    indices = jnp.argmax(enc @ cb.T, axis=-1)            # [B, T]
+    z_q = jnp.take(p["codebook"], indices, axis=0)       # un-normalized entries
+    return z_q.astype(z_e.dtype), indices
+
+
+def vq_apply(p, z):
+    """One quantizer stage. z: [B, T, D_in] -> (z_q, commit, codebook, idx, z_e)
+    with straight-through gradients (dac_vae.py:367-404)."""
+    z_e = conv1d(p["in_proj"], z)
+    z_q, indices = vq_decode_latents(p, z_e)
+    commit = jnp.mean(jnp.square(z_e - jax.lax.stop_gradient(z_q)), axis=(1, 2))
+    codebook = jnp.mean(jnp.square(z_q - jax.lax.stop_gradient(z_e)), axis=(1, 2))
+    z_q = z_e + jax.lax.stop_gradient(z_q - z_e)         # straight-through
+    return conv1d(p["out_proj"], z_q), commit, codebook, indices, z_e
+
+
+def vq_decode_code(p, indices):
+    """indices [B, T] -> z_q [B, T, D_in] (embed + out projection)."""
+    z_p = jnp.take(p["codebook"], indices, axis=0)
+    return conv1d(p["out_proj"], z_p), z_p
+
+
+def rvq_init(key, cfg: DACVAEConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, cfg.n_codebooks)
+    return [vq_init(k, cfg.latent_dim, cfg.codebook_size, cfg.codebook_dim, dtype)
+            for k in ks]
+
+
+def rvq_apply(quantizers, z, n_quantizers=None):
+    """Residual VQ over the stack (dac_vae.py:460-532, eval semantics).
+
+    z: [B, T, D]. n_quantizers: static int or per-sample [B] int array (the
+    training-time quantizer-dropout mask); None = all codebooks.
+    Returns (z_q, codes [B, N, T], latents [B, T, sum D_cb], commit, codebook).
+    """
+    b = z.shape[0]
+    nq = len(quantizers) if n_quantizers is None else n_quantizers
+    per_sample = hasattr(nq, "shape") and getattr(nq, "ndim", 0) == 1
+    z_q = jnp.zeros_like(z)
+    residual = z
+    commit = jnp.zeros((), jnp.float32)
+    codebook = jnp.zeros((), jnp.float32)
+    codes, latents = [], []
+    for i, p in enumerate(quantizers):
+        if not per_sample and i >= int(nq):
+            break
+        z_q_i, c_i, cb_i, idx_i, z_e_i = vq_apply(p, residual)
+        if per_sample:
+            mask = (i < nq).astype(z.dtype)[:, None, None]   # [B,1,1]
+            z_q = z_q + z_q_i * mask
+            commit = commit + jnp.mean(c_i * mask[:, 0, 0])
+            codebook = codebook + jnp.mean(cb_i * mask[:, 0, 0])
+        else:
+            z_q = z_q + z_q_i
+            commit = commit + jnp.mean(c_i)
+            codebook = codebook + jnp.mean(cb_i)
+        residual = residual - z_q_i
+        codes.append(idx_i)
+        latents.append(z_e_i)
+    return (z_q, jnp.stack(codes, axis=1), jnp.concatenate(latents, axis=-1),
+            commit, codebook)
+
+
+def rvq_from_codes(quantizers, codes):
+    """codes [B, N, T] -> (z_q [B, T, D], z_p [B, T, sum D_cb])
+    (dac_vae.py:534-553)."""
+    z_q = None
+    z_p = []
+    for i in range(codes.shape[1]):
+        q_i, p_i = vq_decode_code(quantizers[i], codes[:, i, :])
+        z_q = q_i if z_q is None else z_q + q_i
+        z_p.append(p_i)
+    return z_q, jnp.concatenate(z_p, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# full VAE (continuous KL mode — shipped by MOVA — or discrete RVQ mode)
 # ---------------------------------------------------------------------------
 
 @MODELS.register_module(name="DACVAE")
 def init(key, cfg: DACVAEConfig, dtype=jnp.float32):
-    if not cfg.continuous:
-        raise NotImplementedError("RVQ (discrete) DAC mode: MOVA ships continuous")
     ks = jax.random.split(key, 4)
-    return {
+    p = {
         "encoder": encoder_init(ks[0], cfg, dtype),
         "decoder": decoder_init(ks[1], cfg, dtype),
-        "quant_conv": _conv_init(ks[2], 1, cfg.latent_dim, 2 * cfg.latent_dim, dtype),
-        "post_quant_conv": _conv_init(ks[3], 1, cfg.latent_dim, cfg.latent_dim, dtype),
     }
+    if cfg.continuous:
+        p["quant_conv"] = _conv_init(ks[2], 1, cfg.latent_dim,
+                                     2 * cfg.latent_dim, dtype)
+        p["post_quant_conv"] = _conv_init(ks[3], 1, cfg.latent_dim,
+                                          cfg.latent_dim, dtype)
+    else:
+        p["quantizer"] = rvq_init(ks[2], cfg, dtype)
+    return p
 
 
 def preprocess(audio: jnp.ndarray, hop_length: int) -> jnp.ndarray:
@@ -225,11 +334,33 @@ def encode_sample(params, cfg: DACVAEConfig, audio, key):
 
 def decode(params, cfg: DACVAEConfig, z):
     """z: [B, D, T] (reference layout) -> audio [B, 1, S]. Runs in fp32
-    (pipeline_mova.py:491-493 decodes audio under fp32 autocast)."""
+    (pipeline_mova.py:491-493 decodes audio under fp32 autocast). In RVQ mode
+    z is the quantized continuous representation (no post_quant_conv exists,
+    dac_vae.py:944-960)."""
     zf = z.astype(jnp.float32).transpose(0, 2, 1)
-    h = conv1d(params["post_quant_conv"], zf)
-    wav = decoder_apply(params["decoder"], cfg, h)
+    if "post_quant_conv" in params:
+        zf = conv1d(params["post_quant_conv"], zf)
+    wav = decoder_apply(params["decoder"], cfg, zf)
     return wav.transpose(0, 2, 1)
+
+
+def encode_quantized(params, cfg: DACVAEConfig, audio, n_quantizers=None):
+    """RVQ-mode encode (dac_vae.py:905-943): audio [B, 1, S] ->
+    (z_q [B, D, T], codes [B, N, T], latents [B, sumD_cb, T], commit, codebook).
+    """
+    x = preprocess(audio, cfg.hop_length).transpose(0, 2, 1)
+    z = encoder_apply(params["encoder"], cfg, x)
+    z_q, codes, latents, commit, codebook = rvq_apply(
+        params["quantizer"], z, n_quantizers)
+    return (z_q.transpose(0, 2, 1), codes,
+            latents.transpose(0, 2, 1), commit, codebook)
+
+
+def decode_codes(params, cfg: DACVAEConfig, codes):
+    """RVQ-mode decode from discrete codes [B, N, T] -> audio [B, 1, S]
+    (CodecMixin.decompress path, dac_vae.py:272-312)."""
+    z_q, _ = rvq_from_codes(params["quantizer"], codes)
+    return decode(params, cfg, z_q.transpose(0, 2, 1))
 
 
 # module-level jitted window programs: a fresh jax.jit per compress() call

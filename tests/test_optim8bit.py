@@ -53,3 +53,31 @@ def test_states_are_int8_and_small():
     assert updates["w"].shape == (1024, 256)
     assert np.isfinite(np.asarray(updates["w"])).all()
     assert state2.mu_q["w"].dtype == jnp.int8
+
+
+def test_optimizer_registry_family():
+    """Torch-style optimizer names are all registered and usable (reference
+    auto-registers every torch.optim class, torch_optimizers.py:7-24)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualforce_tpu.registry import OPTIMIZERS
+
+    params = {"w": jnp.ones((8, 4)), "b": jnp.zeros((4,))}
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 0.1), params)
+    names = ["AdamW", "AdamW8bit", "Adam", "SGD", "RMSprop", "Adagrad",
+             "Adadelta", "Lion", "LAMB", "Adafactor", "Novograd", "NAdam",
+             "NAdamW", "RAdam", "AdaBelief", "Adamax"]
+    for n in names:
+        assert n in OPTIMIZERS, n
+        tx = OPTIMIZERS.get(n)(lr=1e-3)
+        st = tx.init(params)
+        up, _ = tx.update(grads, st, params)
+        assert all(jnp.isfinite(x).all() for x in jax.tree.leaves(up)), n
+
+    # betas pass through where meaningful; junk kwargs are rejected loudly
+    OPTIMIZERS.get("Adam")(lr=1e-3, betas=(0.8, 0.95))
+    import pytest
+
+    with pytest.raises(TypeError):
+        OPTIMIZERS.get("SGD")(lr=1e-3, betas=(0.9, 0.999))

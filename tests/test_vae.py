@@ -176,3 +176,57 @@ def test_wan_vae_streaming_single_frame():
     stream = wan_vae.decode_streaming(params, cfg, z)
     np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_dac_rvq_parity():
+    """RVQ (discrete) DAC mode vs the torch oracle: quantized z, codes,
+    reconstruction from z and from codes (dac_vae.py:346-588,935-960)."""
+    cfg = DACVAEConfig(encoder_dim=8, encoder_rates=(2, 3, 4), decoder_dim=64,
+                       decoder_rates=(4, 3, 2), latent_dim=8, continuous=False,
+                       n_codebooks=3, codebook_size=32, codebook_dim=4)
+    torch.manual_seed(3)
+    tm = ref_dac.DAC(
+        encoder_dim=cfg.encoder_dim, encoder_rates=list(cfg.encoder_rates),
+        latent_dim=cfg.latent_dim, decoder_dim=cfg.decoder_dim,
+        decoder_rates=list(cfg.decoder_rates), sample_rate=cfg.sample_rate,
+        continuous=False, n_codebooks=cfg.n_codebooks,
+        codebook_size=cfg.codebook_size, codebook_dim=cfg.codebook_dim,
+    ).eval()
+    params = convert_dac(tm.state_dict(), cfg)
+    assert "quantizer" in params and len(params["quantizer"]) == 3
+
+    audio = np.random.default_rng(5).standard_normal(
+        (2, 1, cfg.hop_length * 6), dtype=np.float32) * 0.3
+    with torch.no_grad():
+        want_z, want_codes, want_lat, *_ = tm.encode(torch.tensor(audio))
+        want_wav = tm.decode(want_z).numpy()
+        want_from_codes = tm.quantizer.from_codes(want_codes)[0].numpy()
+
+    got_z, got_codes, got_lat, commit, codebook = dac_vae.encode_quantized(
+        params, cfg, jnp.asarray(audio))
+    np.testing.assert_array_equal(np.asarray(got_codes), want_codes.numpy())
+    np.testing.assert_allclose(np.asarray(got_z), want_z.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_lat), want_lat.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    assert np.isfinite(float(commit)) and np.isfinite(float(codebook))
+
+    got_wav = dac_vae.decode(params, cfg, got_z)
+    np.testing.assert_allclose(np.asarray(got_wav), want_wav,
+                               rtol=1e-4, atol=1e-5)
+
+    # discrete transport path: reconstruct from CODES alone
+    zq_codes, _ = dac_vae.rvq_from_codes(params["quantizer"],
+                                         jnp.asarray(want_codes.numpy()))
+    np.testing.assert_allclose(np.asarray(zq_codes.transpose(0, 2, 1)),
+                               want_from_codes, rtol=1e-4, atol=1e-5)
+
+    # partial-stack encode (n_quantizers=2) matches the oracle
+    with torch.no_grad():
+        want_z2, want_codes2, *_ = tm.encode(torch.tensor(audio), n_quantizers=2)
+    got_z2, got_codes2, *_ = dac_vae.encode_quantized(
+        params, cfg, jnp.asarray(audio), n_quantizers=2)
+    assert got_codes2.shape[1] == 2
+    np.testing.assert_array_equal(np.asarray(got_codes2), want_codes2.numpy())
+    np.testing.assert_allclose(np.asarray(got_z2), want_z2.numpy(),
+                               rtol=1e-4, atol=1e-5)
