@@ -8,13 +8,18 @@ callables, plus `build()` for config-dict dispatch (the mmengine `Config` +
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+import importlib
+from typing import Any, Callable, Dict, Optional, Sequence
 
 
 class Registry:
-    def __init__(self, name: str):
+    def __init__(self, name: str, locations: Sequence[str] = ()):
         self.name = name
         self._items: Dict[str, Callable] = {}
+        # Modules that register into this registry, imported lazily on first
+        # miss (the reference's mmengine `locations` behavior,
+        # mova/registry.py:3-31) — lookups work regardless of import order.
+        self._locations = list(locations)
 
     def register_module(self, name: Optional[str] = None, module: Optional[Callable] = None):
         """Register a callable. Usable as decorator (with or without args) or direct call."""
@@ -31,7 +36,13 @@ class Registry:
 
         return _decorator
 
+    def _import_locations(self) -> None:
+        while self._locations:
+            importlib.import_module(self._locations.pop())
+
     def get(self, key: str) -> Callable:
+        if key not in self._items:
+            self._import_locations()
         if key not in self._items:
             raise KeyError(
                 f"{key!r} not found in registry {self.name!r}; available: {sorted(self._items)}"
@@ -39,6 +50,8 @@ class Registry:
         return self._items[key]
 
     def __contains__(self, key: str) -> bool:
+        if key not in self._items:
+            self._import_locations()
         return key in self._items
 
     def build(self, cfg: Dict[str, Any], **extra):
@@ -53,10 +66,14 @@ class Registry:
         return self._items.keys()
 
 
-# Mirror of the six reference registries (mova/registry.py:3-31).
-DATASETS = Registry("datasets")
-TRANSFORMS = Registry("transforms")
-DIFFUSION_PIPELINES = Registry("diffusion_pipelines")
-MODELS = Registry("models")
-DIFFUSION_SCHEDULERS = Registry("diffusion_schedulers")
-OPTIMIZERS = Registry("optimizers")
+# Mirror of the six reference registries (mova/registry.py:3-31), with the
+# same lazy `locations` so a bare registry import still resolves names.
+DATASETS = Registry("datasets", locations=["dualforce_tpu.data.dataset"])
+TRANSFORMS = Registry("transforms", locations=["dualforce_tpu.data.transforms"])
+DIFFUSION_PIPELINES = Registry(
+    "diffusion_pipelines", locations=["dualforce_tpu.diffusion.pipeline"])
+MODELS = Registry("models", locations=[
+    "dualforce_tpu.models.factory", "dualforce_tpu.models.dac_vae"])
+DIFFUSION_SCHEDULERS = Registry(
+    "diffusion_schedulers", locations=["dualforce_tpu.diffusion.flow_match"])
+OPTIMIZERS = Registry("optimizers", locations=["dualforce_tpu.engine.optim"])
