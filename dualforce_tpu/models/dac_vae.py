@@ -369,6 +369,14 @@ _encode_mode_jit = jax.jit(encode_mode, static_argnums=(1,))
 _decode_jit = jax.jit(decode, static_argnums=(1,))
 
 
+def _encode_codes(params, cfg, audio):
+    return encode_quantized(params, cfg, audio)[1]
+
+
+_encode_codes_jit = jax.jit(_encode_codes, static_argnums=(1,))
+_decode_codes_jit = jax.jit(decode_codes, static_argnums=(1,))
+
+
 # ---------------------------------------------------------------------------
 # chunked streaming compress/decompress
 #
@@ -411,22 +419,27 @@ def compress(params, cfg: DACVAEConfig, audio: jnp.ndarray,
              chunk_frames: int = 512, overlap_frames: int = 0):
     """Chunked deterministic encode of long audio.
 
-    audio: [B, 1, S] -> latent means [B, D, T] with T = ceil(S / hop).
-    Interior frames match `encode_mode` exactly (overlap >= receptive field);
+    audio: [B, 1, S] -> latent means [B, D, T] (continuous mode) or discrete
+    codes [B, N, T] int32 (RVQ mode — the reference CodecMixin.compress
+    artifact, dac_vae.py:68-213), T = ceil(S / hop).
+    Interior frames match the full pass exactly (overlap >= receptive field);
     memory is bounded by the window size instead of the clip length.
     """
+    rvq = "quantizer" in params
     ov = overlap_frames or encoder_receptive_frames(cfg)
     hop = cfg.hop_length
     audio = preprocess(audio, hop)
     total_t = audio.shape[-1] // hop
     win_t = chunk_frames + 2 * ov            # frames fed per window
     if total_t <= win_t:
-        return encode_mode(params, cfg, audio)
+        return (_encode_codes(params, cfg, audio) if rvq
+                else encode_mode(params, cfg, audio))
 
     # Clamped windows: edge windows butt against the true clip boundaries, so
     # the per-layer zero padding there matches the full pass exactly; interior
     # frames are >= ov (>= receptive field) from any window edge.
-    enc = lambda a: _encode_mode_jit(params, cfg, a)  # noqa: E731
+    enc = ((lambda a: _encode_codes_jit(params, cfg, a)) if rvq
+           else (lambda a: _encode_mode_jit(params, cfg, a)))
     n_win = -(-total_t // chunk_frames)
     outs = []
     for i in range(n_win):
@@ -440,19 +453,23 @@ def compress(params, cfg: DACVAEConfig, audio: jnp.ndarray,
 
 def decompress(params, cfg: DACVAEConfig, z: jnp.ndarray,
                chunk_frames: int = 512, overlap_frames: int = 0):
-    """Chunked decode of long latent sequences. z: [B, D, T] -> [B, 1, T*hop].
+    """Chunked decode of long latent sequences. z: [B, D, T] fp latents (or
+    [B, N, T] integer codes in RVQ mode) -> [B, 1, T*hop].
 
     Interior samples match `decode` exactly; peak memory is bounded by the
     window size (the reference streams via CodecMixin.decompress the same way).
     """
+    from_codes = jnp.issubdtype(z.dtype, jnp.integer)
     ov = overlap_frames or decoder_receptive_frames(cfg)
     hop = cfg.hop_length
     total_t = z.shape[-1]
     win_t = chunk_frames + 2 * ov
     if total_t <= win_t:
-        return decode(params, cfg, z)
+        return (decode_codes(params, cfg, z) if from_codes
+                else decode(params, cfg, z))
 
-    dec = lambda zz: _decode_jit(params, cfg, zz)  # noqa: E731
+    dec = ((lambda zz: _decode_codes_jit(params, cfg, zz)) if from_codes
+           else (lambda zz: _decode_jit(params, cfg, zz)))
     n_win = -(-total_t // chunk_frames)
     outs = []
     for i in range(n_win):

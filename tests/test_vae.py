@@ -230,3 +230,26 @@ def test_dac_rvq_parity():
     np.testing.assert_array_equal(np.asarray(got_codes2), want_codes2.numpy())
     np.testing.assert_allclose(np.asarray(got_z2), want_z2.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dac_rvq_chunked_compress_decompress():
+    """RVQ streaming: chunked compress -> codes identical to the full pass;
+    chunked code decode matches the full decode (interior-exact windows)."""
+    cfg = DACVAEConfig(encoder_dim=8, encoder_rates=(2, 3, 4), decoder_dim=64,
+                       decoder_rates=(4, 3, 2), latent_dim=8, continuous=False,
+                       n_codebooks=2, codebook_size=16, codebook_dim=4)
+    params = dac_vae.init(jax.random.PRNGKey(2), cfg)
+    hop = cfg.hop_length
+    audio = jnp.asarray(np.random.default_rng(6).standard_normal(
+        (1, 1, hop * 40), dtype=np.float32) * 0.3)
+
+    full_codes = dac_vae.encode_quantized(params, cfg, audio)[1]
+    chunked_codes = dac_vae.compress(params, cfg, audio, chunk_frames=8)
+    assert chunked_codes.dtype == full_codes.dtype
+    np.testing.assert_array_equal(np.asarray(chunked_codes),
+                                  np.asarray(full_codes))
+
+    full_wav = dac_vae.decode_codes(params, cfg, full_codes)
+    chunk_wav = dac_vae.decompress(params, cfg, full_codes, chunk_frames=8)
+    np.testing.assert_allclose(np.asarray(chunk_wav), np.asarray(full_wav),
+                               rtol=1e-4, atol=1e-5)
