@@ -149,3 +149,54 @@ def save_video_with_audio(path: str, video: np.ndarray, audio: Optional[np.ndarr
     out = os.path.splitext(path)[0] + ".avi"
     write_mjpeg_avi(out, video, fps, audio, sample_rate)
     return out
+
+
+def read_mjpeg_avi(path: str):
+    """Read back an AVI written by `write_mjpeg_avi` (and standard
+    MJPEG+PCM16 AVIs generally): returns (video [T,H,W,3] uint8,
+    audio [S] float32 or None, sample_rate, fps). The read counterpart makes
+    the no-ffmpeg fallback container a round-trippable interchange format
+    (scripts/eval.py consumes generated clips through it)."""
+    from PIL import Image
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError(f"{path!r} is not an AVI file")
+
+    fps, sample_rate = 24.0, 48000
+    frames, pcm_parts = [], []
+
+    def walk(buf: bytes):
+        nonlocal fps, sample_rate
+        pos = 0
+        stream_types = []
+        while pos + 8 <= len(buf):
+            fourcc = buf[pos:pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            payload = buf[pos + 8:pos + 8 + size]
+            if fourcc == b"LIST":
+                walk(payload[4:])
+            elif fourcc == b"strh":
+                stream_types.append(payload[:4])
+                if payload[:4] == b"vids":
+                    scale, rate = struct.unpack("<II", payload[20:28])
+                    if scale:
+                        fps = rate / scale
+            elif fourcc == b"strf" and stream_types and stream_types[-1] == b"auds":
+                sample_rate = struct.unpack("<I", payload[4:8])[0]
+            elif fourcc == b"00dc" and size:
+                frames.append(np.asarray(
+                    Image.open(io.BytesIO(payload)).convert("RGB")))
+            elif fourcc == b"01wb" and size:
+                pcm_parts.append(payload)
+            pos += 8 + size + (size % 2)
+
+    walk(data[12:])
+    if not frames:
+        raise ValueError(f"no video frames found in {path!r}")
+    audio = None
+    if pcm_parts:
+        pcm = np.frombuffer(b"".join(pcm_parts), "<i2")
+        audio = pcm.astype(np.float32) / 32767.0
+    return np.stack(frames), audio, sample_rate, fps

@@ -59,6 +59,9 @@ def parse_args():
                         "reuse it in between (serving accelerator; 1 = exact)")
     p.add_argument("--cfg_batch", action="store_true",
                    help="batch pos+neg CFG passes in one forward")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="write a jax.profiler (Perfetto/XPlane) trace of the "
+                        "generation to DIR")
     return p.parse_args()
 
 
@@ -79,7 +82,7 @@ def main():
     from dualforce_tpu.parallel.mesh import create_mesh
     from dualforce_tpu.parallel.sharding import shard_params
     from dualforce_tpu.utils.av_io import save_video_with_audio
-    from dualforce_tpu.utils.misc import device_timer, hbm_in_use_gb
+    from dualforce_tpu.utils.misc import device_timer, hbm_in_use_gb, profile_trace
 
     # "cpu"/"group" map to component-wise staging: params stay on host, each
     # module is staged to HBM for its phase, the two 14B experts never
@@ -115,7 +118,7 @@ def main():
     first_frame = image_to_tensor(image)
 
     ctx = mesh if mesh is not None else _nullcontext()
-    with ctx:
+    with ctx, profile_trace(args.profile):
         with device_timer("generation"):
             result = pipe(
                 prompt=args.prompt, image=first_frame,
