@@ -46,6 +46,10 @@ def bridge_flops(Lv, La, dv, da, layers):
 
 def main():
     small = "--small" in sys.argv
+    # --attn fast|sage: measurement override (headline stays "fast" — exact)
+    attn = "fast"
+    if "--attn" in sys.argv:
+        attn = sys.argv[sys.argv.index("--attn") + 1]
     import jax
     import jax.numpy as jnp
 
@@ -124,7 +128,7 @@ def main():
     # headline path: fast-softmax attention (static shift; EXACT for the
     # QK-RMS-normed attention MOVA uses — verified against the running-max
     # kernel below)
-    step = make_step("fast" if on_tpu else "auto")
+    step = make_step(attn if on_tpu else "auto")
 
     print(f"[bench] tracing/compiling: Lv={Lv} dim={dim} layers={v_layers}",
           file=sys.stderr, flush=True)
@@ -144,7 +148,8 @@ def main():
         fast_vs_exact = num / den
         print(f"[bench] fast-softmax vs exact rel err: {fast_vs_exact:.2e}",
               file=sys.stderr, flush=True)
-        assert fast_vs_exact < 1e-2, "fast softmax diverged from exact kernel"
+        gate = 3e-2 if attn == "sage" else 1e-2   # sage: int8 quantization floor
+        assert fast_vs_exact < gate, f"{attn} diverged from exact kernel"
 
     times = []
     for i in range(iters):
@@ -192,8 +197,9 @@ def main():
             "flop_normalized_vs_baseline": round(achieved / (baseline_tput / 990e12 * 197e12), 4),
             "chip_peak_ratio_v5e_to_h100": round(197 / 990, 3),
             "compile_s": round(compile_s, 1),
-            "attn": "fast-softmax (exact for QK-normed attention; "
-                    "verified in-run vs the running-max kernel)",
+            "attn": attn + (" (int8-QK, inference opt-in)" if attn == "sage"
+                            else " (exact for QK-normed attention; "
+                                 "verified in-run vs the running-max kernel)"),
             "fast_vs_exact_rel_err": fast_vs_exact,
             "backend": jax.default_backend(),
             "video_tokens": Lv,

@@ -57,20 +57,26 @@ def attention(
 ) -> jnp.ndarray:
     """Fused attention. q/k/v: [B, S, N, D] (Sq may differ from Sk).
 
-    impl: "auto" | "fast" | "pallas" | "ref" | a callable
+    impl: "auto" | "fast" | "sage" | "pallas" | "ref" | a callable
     (q, k, v, kv_valid_len) -> out — the hook the sequence-parallel path uses
     to inject ring attention. "fast" = the static-shift softmax kernel
     (exact for QK-normed attention, which all MOVA attention is; ~13% faster
-    at 43k tokens — see flash_attention._fwd_kernel).
+    at 43k tokens — see flash_attention._fwd_kernel). "sage" = int8-QK
+    quantized kernel (SageAttention-equivalent, wan_video_dit.py:40-43;
+    inference-only, ~1.16x "fast", rel err ~1.5e-2 — the int8 floor).
     """
     if callable(impl):
         return impl(q, k, v, kv_valid_len)
     if impl == "ref":
         return attention_ref(q, k, v, kv_valid_len)
-    if impl in ("auto", "fast") and (
+    if impl in ("auto", "fast", "sage") and (
         not _flash_available() or q.shape[1] < _FLASH_MIN_SEQ or q.shape[-1] % 128 != 0
     ):
         return attention_ref(q, k, v, kv_valid_len)
+    if impl == "sage":
+        from dualforce_tpu.ops.flash_attention import sage_attention
+
+        return sage_attention(q, k, v, kv_valid_len=kv_valid_len)
     from dualforce_tpu.ops.flash_attention import FAST_SOFTMAX_CAP, flash_attention
 
     cap = FAST_SOFTMAX_CAP if impl == "fast" else None

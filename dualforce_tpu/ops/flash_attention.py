@@ -508,6 +508,156 @@ def flash_attention(
     return o.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
 
 
+# --- int8-QK ("sage") inference variant --------------------------------------
+
+def _sage_fwd_kernel(*refs, masked: bool, cap: float):
+    """Int8 Q·K^T on the MXU (2x bf16 MXU throughput on v5e), fp32 softmax,
+    bf16 P·V. Per-block dequant scales arrive via SMEM; the softmax scale and
+    log2(e) are folded into the q scales. Fast-softmax (static cap) only —
+    sage is for QK-RMS-normed attention, whose logits are bounded.
+
+    Measured at 360p self-attn geometry (40 heads x 43120 tokens): 1.16x the
+    bf16 fast kernel (211 ms vs 245 ms), rel err 1.5e-2 vs fp32 (the int8
+    resolution floor; the bf16 kernel sits at 4e-3). int8 P·V (SageAttention2
+    style) measured SLOWER on v5e: the per-score-element f32->int8 round
+    costs more VPU than the halved P·V MXU time saves."""
+    if masked:
+        bias_ref, sq_ref, sk_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref = refs
+    else:
+        sq_ref, sk_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref = refs
+        bias_ref = None
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s_i32 = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [bq, bk]
+    s = s_i32.astype(jnp.float32) * (sq_ref[b, qi] * sk_ref[b, ki])
+    if masked:
+        s = s + bias_ref[0, 0]
+    p = jnp.exp2(s - cap)
+    l_ref[:] += jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] += jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _fin():
+        l = l_ref[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+
+
+def _block_quant_int8(x, blk: int):
+    """[BN, S, D] fp -> (int8 [BN, S, D], fp32 scales [BN, S//blk])."""
+    bn, s, d = x.shape
+    xb = x.reshape(bn, s // blk, blk, d)
+    sc = jnp.maximum(jnp.max(jnp.abs(xb), axis=(2, 3)), 1e-8) / 127.0
+    xi = jnp.round(xb / sc[:, :, None, None]).astype(jnp.int8)
+    return xi.reshape(bn, s, d), sc.astype(jnp.float32)
+
+
+def _sage_fwd(q, k, v, kv_valid_len, bq: int, bk: int,
+              softmax_cap: float = FAST_SOFTMAX_CAP):
+    """q/k/v: [BN, S, D]. Inference-only (no VJP — differentiating raises)."""
+    bn, sq, d = q.shape
+    sk = k.shape[1]
+    if bq == DEFAULT_BQ and sq > bq:
+        bq = _exact_bq(sq, bq)
+    bq = min(bq, _ceil_to(sq, 128))
+    if kv_valid_len is None:
+        bk = _exact_bk(sk, bk, hi_cap=2048) or min(bk, _ceil_to(sk, 128))
+    else:
+        bk = min(bk, _ceil_to(sk, 128))
+    sq_p, sk_p = _ceil_to(sq, bq), _ceil_to(sk, bk)
+
+    kf = k.astype(jnp.float32)
+    # per-channel mean-centering of K: shifts every row's logits by the same
+    # q_i . mean constant -> softmax-invariant, halves the int8 range K needs
+    kf = kf - jnp.mean(kf, axis=1, keepdims=True)
+    qf = q.astype(jnp.float32)
+    if sq_p != sq:
+        qf = jnp.pad(qf, ((0, 0), (0, sq_p - sq), (0, 0)))
+    if sk_p != sk:
+        kf = jnp.pad(kf, ((0, 0), (0, sk_p - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
+    qi8, q_sc = _block_quant_int8(qf, bq)
+    ki8, k_sc = _block_quant_int8(kf, bk)
+    q_sc = q_sc * (d ** -0.5 * LOG2E)  # fold softmax scale + exp2 conversion
+
+    masked = kv_valid_len is not None or sk_p != sk
+    per_batch = kv_valid_len is not None
+    bias = _mask_bias(
+        kv_valid_len if per_batch else jnp.full((1,), sk, jnp.int32),
+        sk_p) if masked else None
+
+    bias_specs = [pl.BlockSpec(
+        (1, 1, bk),
+        (lambda b, qi, ki: (b, 0, ki)) if per_batch else (lambda b, qi, ki: (0, 0, ki)),
+    )] if masked else []
+    bias_args = (bias,) if masked else ()
+
+    out = pl.pallas_call(
+        functools.partial(_sage_fwd_kernel, masked=masked, cap=softmax_cap),
+        grid=(bn, sq_p // bq, sk_p // bk),
+        in_specs=bias_specs + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=_out_struct((bn, sq_p, d), v.dtype, q, k, v),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bn * sq_p * sk_p * d,
+            bytes_accessed=bn * (sq_p + sk_p) * d + 2 * bn * sk_p * d,
+            transcendentals=bn * sq_p * sk_p,
+        ),
+        interpret=_interpret(),
+    )(*bias_args, q_sc, k_sc, qi8, ki8, v)
+    return out[:, :sq]
+
+
+def sage_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_valid_len: Optional[jnp.ndarray] = None,
+    block_q: int = DEFAULT_BQ,
+    block_k: int = DEFAULT_BK,
+) -> jnp.ndarray:
+    """Int8-QK flash attention over [B, S, N, D] (SageAttention-equivalent —
+    the reference's third fallback, wan_video_dit.py:40-43,79-84). Inference
+    only; ~1.16x the bf16 fast kernel at 360p geometry, rel err ~1.5e-2."""
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    qf = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
+    vlen = None
+    if kv_valid_len is not None:
+        vlen = jnp.repeat(kv_valid_len.astype(jnp.int32).reshape(b, 1), n, axis=0)
+    o = _sage_fwd(qf, kf, vf, vlen, block_q, block_k)
+    return o.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
+
+
 # --- (out, lse) variant for sequence-parallel combines -----------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -43,7 +43,7 @@ def parse_args():
     p.add_argument("--cp_size", type=int, default=1)
     p.add_argument("--fsdp_size", type=int, default=1)
     p.add_argument("--attn_type", type=str, default="auto",
-                   choices=["auto", "fast", "pallas", "ref"])
+                   choices=["auto", "fast", "sage", "pallas", "ref"])
     p.add_argument("--offload", type=str, default="none",
                    choices=["none", "cpu", "group", "component"],
                    help="component-wise host staging (cpu/group map to "

@@ -96,6 +96,41 @@ def test_with_lse_values_and_grads():
             err_msg=f"d{name} mismatch")
 
 
+@pytest.mark.parametrize("sq,sk,vlen", [
+    (256, 256, None),            # aligned
+    (300, 200, None),            # padded q and kv
+    (256, 256, (100, 256)),      # per-batch kv mask (serving)
+])
+def test_sage_int8_close_to_reference(sq, sk, vlen):
+    """Int8-QK kernel: within the int8 quantization floor of the exact
+    reference (~1.5e-2 relative), all geometries incl. padding and kv mask."""
+    from dualforce_tpu.ops.flash_attention import sage_attention
+
+    b, n, d = (2 if vlen else 1), 2, 128
+    q, k, v = _rand(40, (b, sq, n, d)), _rand(41, (b, sk, n, d)), _rand(42, (b, sk, n, d))
+    vl = jnp.array(vlen, jnp.int32) if vlen else None
+    got = np.asarray(sage_attention(q, k, v, kv_valid_len=vl,
+                                    block_q=128, block_k=128), np.float32)
+    want = np.asarray(attention_ref(q, k, v, kv_valid_len=vl), np.float32)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 2.5e-2, f"sage rel err {rel:.3e}"
+    np.testing.assert_allclose(got, want, atol=8e-2)
+
+
+def test_sage_dispatch():
+    """impl='sage' routes through the dispatcher (ref fallback off-TPU for
+    small seq; here just checks the call path runs and is close)."""
+    from dualforce_tpu.ops.attention import attention
+
+    b, s, n, d = 1, 256, 1, 128
+    q, k, v = _rand(43, (b, s, n, d)), _rand(44, (b, s, n, d)), _rand(45, (b, s, n, d))
+    got = attention(q, k, v, impl="sage")
+    want = attention_ref(q, k, v)
+    rel = (np.linalg.norm(np.asarray(got, np.float32) - np.asarray(want)) /
+           np.linalg.norm(np.asarray(want)))
+    assert rel < 2.5e-2
+
+
 def test_fast_softmax_matches_exact():
     """softmax_cap (static-shift fast mode) must match the exact kernel to
     fp precision for in-range scores, incl. padded kv and the LSE output."""
