@@ -23,6 +23,15 @@ with log2(e) so the inner loop runs in exp2 units with zero per-element
 multiplies, and the kv mask is a precomputed additive bias ROW (one VPU add
 per score element instead of iota+compare+select, and no in-kernel branching,
 which Mosaic serializes).
+
+Measured dead end (do not retry): a "layout-native" variant taking the
+projections' [B, S, N*D] layout directly with a 4D (batch, head, q, k) grid
+— to kill the [B,S,N,D] -> [B*N,S,D] transposes (~69 ms/step of copy at 360p)
+— made the full step SLOWER (MFU .781 -> .756 on v5e). The custom call itself
+was unchanged (profiled 649 ms both ways), but collapsing (N,D) into N*D is a
+physical relayout under XLA's tiled layouts (tiles move from (N,D) to
+(S,N*D)), which resurfaced as ~130 ms of reshape/bitcast ops that XLA had
+previously fused into the transpose chain.
 """
 
 from __future__ import annotations
