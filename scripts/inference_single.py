@@ -48,6 +48,12 @@ def parse_args():
                    choices=["none", "cpu", "group", "component"],
                    help="component-wise host staging (cpu/group map to "
                         "'component'); default keeps weights HBM-resident")
+    p.add_argument("--offload_to_disk_path", type=str, default=None,
+                   metavar="DIR",
+                   help="with --offload: keep params as disk-backed memmaps "
+                        "in DIR (one-time export on first run) so host RSS "
+                        "stays at page-cache level — the reference's "
+                        "group-offload-to-disk niche (inference_single.py:92)")
     p.add_argument("--weight_dtype", type=str, default="bf16",
                    choices=["bf16", "fp8"],
                    help="fp8 stores matmul kernels as float8_e4m3 (half the "
@@ -99,6 +105,21 @@ def main():
     params = load_pipeline_params(args.ckpt_path, cfg, dtype=wdtype,
                                   to_device=(offload == "none"))
     tokenizer = load_tokenizer(args.ckpt_path)
+
+    if args.offload_to_disk_path:
+        if offload == "none":
+            raise SystemExit("--offload_to_disk_path requires --offload "
+                             "cpu/group/component")
+        from dualforce_tpu.convert.disk_store import (
+            load_params_mmap, save_params_to_dir, store_matches)
+
+        if not store_matches(params, args.offload_to_disk_path):
+            print(f"[info] exporting params to {args.offload_to_disk_path} "
+                  "(one-time)")
+            save_params_to_dir(params, args.offload_to_disk_path)
+        params = load_params_mmap(params, args.offload_to_disk_path)
+        print("[info] params are disk-backed memmaps; modules stream "
+              "disk -> HBM per phase")
 
     mesh = None
     if args.cp_size * args.fsdp_size > 1:
