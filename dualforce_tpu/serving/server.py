@@ -158,6 +158,15 @@ class VideoServer:
         self.out_dir = out_dir
         self.model_name = model_name
         self.queue: "Queue[str]" = Queue()
+        # restart recovery: tasks.json survives the process (reference
+        # workflow/app.py behaviour) — a task caught mid-generation is failed
+        # (its partial state is gone), still-queued work is re-enqueued
+        for t in sorted(self.store.all(), key=lambda t: t.created_at):
+            if t.status == "running":
+                self.store.update(t.task_id, status="failed",
+                                  error="server restarted mid-generation")
+            elif t.status == "queued":
+                self.queue.put(t.task_id)
         self._worker = threading.Thread(target=self._run_worker, daemon=True)
         self._worker.start()
         self.app = web.Application(client_max_size=64 * 1024 * 1024)

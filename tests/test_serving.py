@@ -148,3 +148,29 @@ def test_same_geometry_tasks_batch_together(batch_server):
     assert max(sizes) == 3, _BATCHES
     odd_batches = [b for b in _BATCHES if other.task_id in b]
     assert odd_batches and len(odd_batches[0]) == 1
+
+
+def test_restart_recovery(tmp_path):
+    """Tasks persisted as queued are re-enqueued on server start; tasks caught
+    mid-generation become failed (their partial state died with the process)."""
+    import json
+    import os
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    with open(os.path.join(out, "tasks.json"), "w") as f:
+        json.dump([
+            {"task_id": "qqq", "status": "queued", "prompt": "p",
+             "params": {"num_frames": 2, "fps": 8.0}},
+            {"task_id": "rrr", "status": "running", "prompt": "p",
+             "params": {"num_frames": 2, "fps": 8.0}},
+        ], f)
+    srv = VideoServer(_fake_backend, out_dir=out)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if srv.store.get("qqq").status == "completed":
+            break
+        time.sleep(0.05)
+    assert srv.store.get("qqq").status == "completed"
+    rr = srv.store.get("rrr")
+    assert rr.status == "failed" and "restarted" in rr.error
