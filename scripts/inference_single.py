@@ -25,7 +25,8 @@ def parse_args():
     p.add_argument("--negative_prompt", type=str, default="")
     p.add_argument("--ref_path", type=str, required=True,
                    help="reference first-frame image")
-    p.add_argument("--output", type=str, default="output.mp4")
+    p.add_argument("--output", "--output_path", dest="output", type=str,
+                   default="output.mp4")
     p.add_argument("--num_frames", type=int, default=193)
     p.add_argument("--fps", type=float, default=24.0)
     p.add_argument("--height", type=int, default=352)

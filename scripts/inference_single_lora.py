@@ -24,7 +24,14 @@ def parse_args():
     p.add_argument("--prompt", type=str, required=True)
     p.add_argument("--negative_prompt", type=str, default="")
     p.add_argument("--ref_path", type=str, required=True)
-    p.add_argument("--output", type=str, default="output_lora.mp4")
+    p.add_argument("--output", "--output_path", dest="output", type=str,
+                   default="output_lora.mp4")
+    p.add_argument("--merge_lora", action="store_true",
+                   help="compat no-op: LoRA is always folded into the base "
+                        "kernels here (W + BA*alpha/r*scale) — functionally "
+                        "identical to the reference's merged path; runtime "
+                        "re-scaling without reload is a training-time concern "
+                        "(engine/lora.py keeps factors separate there)")
     p.add_argument("--num_frames", type=int, default=193)
     p.add_argument("--fps", type=float, default=24.0)
     p.add_argument("--height", type=int, default=352)
