@@ -56,6 +56,13 @@ def _interpret() -> bool:
 
 DEFAULT_BQ = 1024
 DEFAULT_BK = 1024
+# Mosaic's default scoped-VMEM limit is 16 MiB of the v5e's 128 MiB; raising
+# it unlocks far larger blocks. Measured at 43k tokens (40 heads): fwd
+# (bq 3080, bk 3920) 236 ms vs 247 ms at the old 16 MiB-constrained blocks,
+# bwd (512, 3920) 756 ms vs 789 ms — and the TRAINING forward (save_lse=True)
+# did not fit the 16 MiB limit at all at bq>=1232.
+VMEM_LIMIT_BYTES = 110 * 1024 * 1024
+_BWD_BQ_CAP = 512
 # static shift for the fast-softmax mode (log2 units): exact while
 # max_score ∈ (cap-126, cap+127); QK-RMS-normed logits sit well inside
 FAST_SOFTMAX_CAP = 30.0
@@ -65,15 +72,16 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _exact_bk(sk: int, bk_max: int, hi_cap: int = 2176) -> Optional[int]:
-    """Largest k-block that divides sk exactly (multiple of 8, in [512, 2176]).
-    An exact divisor removes kv padding — and with it the additive mask bias,
-    one VPU op per score element (~20% kernel time at 43k tokens: 43120 has no
+def _exact_bk(sk: int, bk_max: int, hi_cap: int = 3920) -> Optional[int]:
+    """Largest k-block that divides sk exactly (multiple of 8, in
+    [512, hi_cap]). An exact divisor removes kv padding — and with it the
+    additive mask bias, one VPU op per score element (43120 has no
     multiple-of-128 divisor, but Mosaic only needs the SECOND-to-last block
-    dim divisible by 8, so bk=1960 is legal and measured fastest). The search
-    may EXCEED the requested bk_max — e.g. 43120's largest divisor under 1024
-    is 880, which is slower than padded 1024; 2156 wins (measured on v5e;
-    ceilings past ~2176 OOM scoped VMEM against the q-block)."""
+    dim divisible by 8, so 1960/3920 are legal). The search may EXCEED the
+    requested bk_max — e.g. 43120's largest divisor under 1024 is 880, which
+    is slower than padded 1024. With VMEM_LIMIT_BYTES raised, bk=3920 is the
+    measured optimum (fwd and bwd); sage keeps hi_cap=2048 (int8 balance
+    differs — larger blocks measured SLOWER there)."""
     hi = min(max(bk_max, hi_cap), sk)
     for cand in range(hi // 8 * 8, 511, -8):
         if sk % cand == 0:
@@ -81,13 +89,14 @@ def _exact_bk(sk: int, bk_max: int, hi_cap: int = 2176) -> Optional[int]:
     return None
 
 
-def _exact_bq(sq: int, bq: int) -> int:
+def _exact_bq(sq: int, bq: int, hi: int = 3080) -> int:
     """Prefer a q-block that divides sq exactly (multiple of 8, in
-    [1024, 1264]) over the requested one: removes q padding and amortizes k/v
-    streaming over more rows per block. 1232 for 43120 tokens measured +2%
-    over padded 1024 on v5e; the cap keeps bq*bk fp32 scores within scoped
-    VMEM (1264*2156*4 ≈ 10.9 MB — 1760-row blocks already fail to compile)."""
-    for cand in range(1264 // 8 * 8, 1023, -8):
+    [1024, hi]) over the requested one: removes q padding and amortizes k/v
+    streaming over more rows per block. With VMEM_LIMIT_BYTES raised, 3080
+    (43120 tokens) / 2800 (176400) are the measured fwd optima; blocks past
+    ~4312 regress (bq 4312 x bk 3920 measured 273 ms vs 236). The sage path
+    passes hi=1264 — its int8 optimum stayed at the small blocks."""
+    for cand in range(hi // 8 * 8, 1023, -8):
         if sq % cand == 0:
             return cand
     return bq
@@ -255,6 +264,7 @@ def _fwd(q, k, v, kv_valid_len, bq: int, bk: int, save_lse: bool = True,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bn * sq_p * sk_p * d,
@@ -355,13 +365,11 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int, dlse=None):
     bn, sq, d = q.shape
     sk = k.shape[1]
     # the bwd kernels hold more live tiles (do, lse, delta, two fp32 [bq,bk]
-    # intermediates) than the fwd; bq=1024 with bk~2048 exceeds the 16 MB
-    # scoped-VMEM stack — cap the q block at 512 here
-    bq = min(bq, 512, _ceil_to(sq, 128))
+    # intermediates) than the fwd; larger q-blocks measured slower (775-782 ms
+    # at bq 616-784 vs 753 at 512, bk 3920)
+    bq = min(bq, _BWD_BQ_CAP, _ceil_to(sq, 128))
     if kv_valid_len is None:
-        # hi_cap 2048: the proven bwd ceiling (the fwd's 2176 would put the
-        # extra fp32 [bq,bk] intermediates over scoped VMEM)
-        bk = _exact_bk(sk, bk, hi_cap=2048) or min(bk, _ceil_to(sk, 128))
+        bk = _exact_bk(sk, bk) or min(bk, _ceil_to(sk, 128))
     else:
         bk = min(bk, _ceil_to(sk, 128))
     sq_p, sk_p = _ceil_to(sq, bq), _ceil_to(sk, bk)
@@ -417,6 +425,7 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int, dlse=None):
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=6 * bn * sq_p * sk_p * d,
@@ -451,6 +460,7 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int, dlse=None):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=8 * bn * sq_p * sk_p * d,
@@ -581,7 +591,7 @@ def _sage_fwd(q, k, v, kv_valid_len, bq: int, bk: int,
     bn, sq, d = q.shape
     sk = k.shape[1]
     if bq == DEFAULT_BQ and sq > bq:
-        bq = _exact_bq(sq, bq)
+        bq = _exact_bq(sq, bq, hi=1264)   # int8 optimum: small blocks
     bq = min(bq, _ceil_to(sq, 128))
     if kv_valid_len is None:
         bk = _exact_bk(sk, bk, hi_cap=2048) or min(bk, _ceil_to(sk, 128))
@@ -633,6 +643,7 @@ def _sage_fwd(q, k, v, kv_valid_len, bq: int, bk: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bn * sq_p * sk_p * d,
