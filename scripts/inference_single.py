@@ -66,6 +66,11 @@ def parse_args():
                         "reuse it in between (serving accelerator; 1 = exact)")
     p.add_argument("--cfg_batch", action="store_true",
                    help="batch pos+neg CFG passes in one forward")
+    p.add_argument("--compile_cache", type=str,
+                   default=os.path.expanduser("~/.cache/dualforce_jax"),
+                   help="persistent XLA compilation cache dir ('' disables); "
+                        "repeat runs at the same geometry skip the "
+                        "multi-minute compile")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="write a jax.profiler (Perfetto/XPlane) trace of the "
                         "generation to DIR")
@@ -74,6 +79,11 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.compile_cache:
+        import jax as _jax
+
+        os.makedirs(args.compile_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", args.compile_cache)
     import numpy as np
     from PIL import Image
 

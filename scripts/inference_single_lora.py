@@ -46,11 +46,23 @@ def parse_args():
     p.add_argument("--sigma_shift", type=float, default=5.0)
     p.add_argument("--cp_size", type=int, default=1)
     p.add_argument("--fsdp_size", type=int, default=1)
+    p.add_argument("--compile_cache", type=str,
+                   default=os.path.expanduser("~/.cache/dualforce_jax"),
+                   help="persistent XLA compilation cache dir ('' disables)")
     return p.parse_args()
+
+
+def _setup_compile_cache(path):
+    if path:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
 
 
 def main():
     args = parse_args()
+    _setup_compile_cache(args.compile_cache)
     from PIL import Image
 
     from dualforce_tpu.convert.load_checkpoint import (
