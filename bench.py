@@ -47,12 +47,17 @@ def bridge_flops(Lv, La, dv, da, layers):
 def main():
     small = "--small" in sys.argv
     # --attn fast|sage: measurement override (headline stays "fast" — exact)
-    attn = "fast"
-    if "--attn" in sys.argv:
-        attn = sys.argv[sys.argv.index("--attn") + 1]
-    geom = "360p"
-    if "--geom" in sys.argv:
-        geom = sys.argv[sys.argv.index("--geom") + 1]
+    def _opt(flag, default, choices):
+        if flag not in sys.argv:
+            return default
+        idx = sys.argv.index(flag)
+        if idx + 1 >= len(sys.argv) or sys.argv[idx + 1] not in choices:
+            sys.exit(f"{flag} must be one of {sorted(choices)}")
+        return sys.argv[idx + 1]
+
+    # --attn fast|sage: measurement override (headline stays "fast" — exact)
+    attn = _opt("--attn", "fast", {"fast", "sage", "auto"})
+    geom = _opt("--geom", "360p", {"360p", "720p"})
     import jax
     import jax.numpy as jnp
 
@@ -205,8 +210,7 @@ def main():
     vs_base = (baseline_h100 / est_step if geom == "360p"
                else achieved / baseline_tput)
     result = {
-        "metric": f"mova{geom}_denoise_step_time_extrapolated"
-                  if geom != "360p" else "mova360p_denoise_step_time_extrapolated",
+        "metric": f"mova{geom}_denoise_step_time_extrapolated",
         "value": round(est_step, 3),
         "unit": "s/step/chip",
         "vs_baseline": round(vs_base, 4),

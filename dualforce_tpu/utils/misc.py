@@ -59,3 +59,14 @@ def profile_trace(log_dir: Optional[str]):
 
 def tree_size_bytes(params) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+
+
+def setup_compile_cache(path: Optional[str]):
+    """Enable the persistent XLA compilation cache ('' / None disables).
+    Shared by the CLIs (inference, LoRA inference, serve) so cache behavior
+    cannot drift between them."""
+    if path:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)

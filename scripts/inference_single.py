@@ -79,11 +79,9 @@ def parse_args():
 
 def main():
     args = parse_args()
-    if args.compile_cache:
-        import jax as _jax
+    from dualforce_tpu.utils.misc import setup_compile_cache
 
-        os.makedirs(args.compile_cache, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+    setup_compile_cache(args.compile_cache)
     import numpy as np
     from PIL import Image
 
@@ -113,24 +111,36 @@ def main():
 
     cfg = config_from_checkpoint(args.ckpt_path)
     wdtype = jnp.float8_e4m3fn if args.weight_dtype == "fp8" else jnp.bfloat16
-    params = load_pipeline_params(args.ckpt_path, cfg, dtype=wdtype,
-                                  to_device=(offload == "none"))
-    tokenizer = load_tokenizer(args.ckpt_path)
 
     if args.offload_to_disk_path:
         if offload == "none":
             raise SystemExit("--offload_to_disk_path requires --offload "
                              "cpu/group/component")
         from dualforce_tpu.convert.disk_store import (
-            load_params_mmap, save_params_to_dir, store_matches)
+            load_params_mmap_from_manifest, save_params_to_dir, store_matches)
 
-        if not store_matches(params, args.offload_to_disk_path):
+        # fingerprint = source identity; a matching store loads straight from
+        # disk with NO full-RAM checkpoint load (the point of this flag), and
+        # a store from different weights / --weight_dtype is re-exported
+        ckpt = os.path.abspath(args.ckpt_path)
+        mtime = max((os.path.getmtime(os.path.join(ckpt, e))
+                     for e in os.listdir(ckpt)), default=0.0)
+        fp = f"{ckpt}|{args.weight_dtype}|{mtime:.0f}"
+        if not store_matches(None, args.offload_to_disk_path, fingerprint=fp):
             print(f"[info] exporting params to {args.offload_to_disk_path} "
                   "(one-time)")
-            save_params_to_dir(params, args.offload_to_disk_path)
-        params = load_params_mmap(params, args.offload_to_disk_path)
+            params = load_pipeline_params(args.ckpt_path, cfg, dtype=wdtype,
+                                          to_device=False)
+            save_params_to_dir(params, args.offload_to_disk_path,
+                               fingerprint=fp)
+            del params
+        params = load_params_mmap_from_manifest(args.offload_to_disk_path)
         print("[info] params are disk-backed memmaps; modules stream "
               "disk -> HBM per phase")
+    else:
+        params = load_pipeline_params(args.ckpt_path, cfg, dtype=wdtype,
+                                      to_device=(offload == "none"))
+    tokenizer = load_tokenizer(args.ckpt_path)
 
     mesh = None
     if args.cp_size * args.fsdp_size > 1:

@@ -52,17 +52,11 @@ def parse_args():
     return p.parse_args()
 
 
-def _setup_compile_cache(path):
-    if path:
-        import jax
-
-        os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
-
-
 def main():
     args = parse_args()
-    _setup_compile_cache(args.compile_cache)
+    from dualforce_tpu.utils.misc import setup_compile_cache
+
+    setup_compile_cache(args.compile_cache)
     from PIL import Image
 
     from dualforce_tpu.convert.load_checkpoint import (

@@ -38,9 +38,9 @@ def main():
 
     import jax
 
-    if args.compile_cache:
-        os.makedirs(args.compile_cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+    from dualforce_tpu.utils.misc import setup_compile_cache
+
+    setup_compile_cache(args.compile_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from dualforce_tpu.convert.load_checkpoint import (

@@ -117,18 +117,25 @@ def test_sage_int8_close_to_reference(sq, sk, vlen):
     np.testing.assert_allclose(got, want, atol=8e-2)
 
 
-def test_sage_dispatch():
-    """impl='sage' routes through the dispatcher (ref fallback off-TPU for
-    small seq; here just checks the call path runs and is close)."""
-    from dualforce_tpu.ops.attention import attention
+def test_sage_dispatch(monkeypatch):
+    """impl='sage' must actually reach the int8 kernel through the
+    dispatcher. Off-TPU the availability guard would fall back to ref (a
+    ref-vs-ref comparison proves nothing), so force availability — the sage
+    kernel itself runs fine in interpret mode."""
+    import importlib
 
+    # ops/__init__ re-exports the attention FUNCTION, shadowing the module
+    # for `import ... as`; resolve the module itself
+    attn_mod = importlib.import_module("dualforce_tpu.ops.attention")
+    monkeypatch.setattr(attn_mod, "_flash_available", lambda: True)
     b, s, n, d = 1, 256, 1, 128
     q, k, v = _rand(43, (b, s, n, d)), _rand(44, (b, s, n, d)), _rand(45, (b, s, n, d))
-    got = attention(q, k, v, impl="sage")
+    got = attn_mod.attention(q, k, v, impl="sage")
     want = attention_ref(q, k, v)
     rel = (np.linalg.norm(np.asarray(got, np.float32) - np.asarray(want)) /
            np.linalg.norm(np.asarray(want)))
-    assert rel < 2.5e-2
+    # int8 quantization floor: clearly differs from exact ref but is close
+    assert 1e-4 < rel < 2.5e-2, f"rel={rel:.2e} (0 would mean ref fallback)"
 
 
 def test_fast_softmax_matches_exact():
