@@ -156,3 +156,23 @@ def test_fast_softmax_matches_exact():
         q, k, v, block_q=128, block_k=128) * w))(q)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_exact),
                                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("s,want_bq,want_bk", [
+    (43120, 3080, 3920),    # 360p: measured optima (VMEM-raised blocks)
+    (176400, 2800, 3920),   # 720p
+    (997, 1024, None),      # prime-ish: no divisor -> padded default / None
+])
+def test_block_selection(s, want_bq, want_bk):
+    """_exact_bq/_exact_bk pick the measured-optimal exact divisors for the
+    canonical geometries (and fall back cleanly when none exists)."""
+    from dualforce_tpu.ops.flash_attention import _exact_bk, _exact_bq
+
+    bq = _exact_bq(s, 1024)
+    bk = _exact_bk(s, 1024)
+    assert bq == want_bq
+    assert bk == want_bk
+    if bk is not None:
+        assert s % bk == 0 and bk % 8 == 0
+    if bq != 1024:
+        assert s % bq == 0 and bq % 8 == 0
