@@ -282,11 +282,13 @@ class FlowMatchEulerDiscreteScheduler:
 
     def step(self, model_output, timestep: float, sample,
              return_dict: bool = False):
+        if return_dict:
+            # raise BEFORE touching _step_index: a failed call must not
+            # corrupt the trajectory state for a retry
+            raise NotImplementedError("return_dict output objects unsupported; "
+                                      "call with return_dict=False")
         i = (self._step_index if self._step_index is not None
              else self.index_for_timestep(timestep))
         prev = sample + model_output * (self.sigmas[i + 1] - self.sigmas[i])
         self._step_index = i + 1
-        if return_dict:
-            raise NotImplementedError("return_dict output objects unsupported; "
-                                      "call with return_dict=False")
         return (prev,)

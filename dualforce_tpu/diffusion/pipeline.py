@@ -136,6 +136,19 @@ class MOVAPipeline:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (noise latents [1,16,F,h,w], condition [1,20,F,h,w]) in the
         reference's channel-first layout (pipeline_mova.py:190-259)."""
+        return self.prepare_latents_batch([first_frame], height, width,
+                                          num_frames, [key], params=params)
+
+    def prepare_latents_batch(
+        self,
+        first_frames: List[np.ndarray],
+        height: int, width: int, num_frames: int,
+        keys: List[jax.Array],
+        params: Optional[Dict[str, Any]] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Batched prepare_latents: ONE VAE encode for the whole request batch
+        (first frames stacked along batch), per-item noise keys so each item
+        stays bit-identical to its single-request result for its seed."""
         params = params if params is not None else self.params
         vcfg = self.cfg.video_vae
         st, ss = vcfg.scale_factor_temporal, vcfg.scale_factor_spatial
@@ -145,25 +158,31 @@ class MOVAPipeline:
             raise ValueError(f"num_frames-1 must be divisible by {st}")
         F = (num_frames - 1) // st + 1
         lh, lw = height // ss, width // ss
+        b = len(first_frames)
 
-        latents = jax.random.normal(key, (1, vcfg.z_dim, F, lh, lw), jnp.float32)
+        latents = jnp.concatenate(
+            [jax.random.normal(k, (1, vcfg.z_dim, F, lh, lw), jnp.float32)
+             for k in keys], axis=0)
 
         # encode [first_frame, zeros...] deterministically (argmax mode)
-        video_condition = np.zeros((1, num_frames, height, width, 3), np.float32)
-        video_condition[0, 0] = first_frame
+        video_condition = np.zeros((b, num_frames, height, width, 3), np.float32)
+        for i, frame in enumerate(first_frames):
+            video_condition[i, 0] = frame
         cond = wan_vae.encode_mode(params["video_vae"], vcfg,
                                    jnp.asarray(video_condition))
-        cond = wan_vae.normalize_latents(cond, vcfg)          # [1,F,lh,lw,16]
+        cond = wan_vae.normalize_latents(cond, vcfg)          # [b,F,lh,lw,16]
         cond = jnp.transpose(cond, (0, 4, 1, 2, 3)).astype(jnp.float32)
 
-        # 4-channel first-frame mask (pipeline_mova.py:246-257)
+        # 4-channel first-frame mask (pipeline_mova.py:246-257); identical per
+        # item, broadcast over the batch
         mask = np.ones((1, 1, num_frames, lh, lw), np.float32)
         mask[:, :, 1:] = 0.0
         first = np.repeat(mask[:, :, 0:1], st, axis=2)
         mask = np.concatenate([first, mask[:, :, 1:]], axis=2)   # [1,1,st+T-1,lh,lw]
         mask = mask.reshape(1, F, st, lh, lw).transpose(0, 2, 1, 3, 4)  # [1,st,F,lh,lw]
+        mask = np.broadcast_to(mask, (b,) + mask.shape[1:])
 
-        condition = jnp.concatenate([jnp.asarray(mask), cond], axis=1)  # [1,20,F,lh,lw]
+        condition = jnp.concatenate([jnp.asarray(mask), cond], axis=1)  # [b,20,F,lh,lw]
         return latents, condition
 
     def prepare_audio_latents(self, num_frames: int, video_fps: float, key) -> jnp.ndarray:
@@ -234,6 +253,9 @@ class MOVAPipeline:
         if self.offload != "none":
             return  # offload path compiles per phase on first use
         self.scheduler.set_timesteps(num_inference_steps, shift=sigma_shift)
+        # postprocess state may be left over from a shifted generate(); the
+        # warmed bucket must match the PLAIN plan or the cache never hits
+        self.scheduler.set_pair_postprocess_by_name(None)
         plan = build_plan(self.scheduler, self.cfg.boundary_ratio)
         vcfg, acfg = self.cfg.video_dit, self.cfg.audio_vae
         st = self.cfg.video_vae.scale_factor_temporal
@@ -260,7 +282,8 @@ class MOVAPipeline:
         grid = (F // vcfg.patch_size[0], lh // vcfg.patch_size[1],
                 lw // vcfg.patch_size[2])
         rope_pack = make_rope_pack(vcfg, self.cfg.audio_dit, self.cfg.bridge,
-                                   grid, la, video_fps)
+                                   grid, la // self.cfg.audio_dit.patch_size,
+                                   video_fps)
         rope_abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), rope_pack)
         params_abstract = jax.tree.map(
@@ -317,18 +340,14 @@ class MOVAPipeline:
             self.scheduler.set_pair_postprocess_by_name(None)
         plan = build_plan(self.scheduler, self.cfg.boundary_ratio)
 
-        lat_l, cond_l, alat_l = [], [], []
+        item_keys = [jax.random.split(jax.random.PRNGKey(s)) for s in seeds]
         with self._staged("video_vae") as p:
-            for i in range(bsz):
-                k_lat, k_aud = jax.random.split(jax.random.PRNGKey(seeds[i]))
-                lat, cond = self.prepare_latents(images[i], height, width,
-                                                 num_frames, k_lat, params=p)
-                lat_l.append(lat)
-                cond_l.append(cond)
-                alat_l.append(self.prepare_audio_latents(num_frames, video_fps, k_aud))
-        latents = jnp.concatenate(lat_l, axis=0)
-        condition = jnp.concatenate(cond_l, axis=0)
-        audio_latents = jnp.concatenate(alat_l, axis=0)
+            latents, condition = self.prepare_latents_batch(
+                images, height, width, num_frames,
+                [k[0] for k in item_keys], params=p)
+        audio_latents = jnp.concatenate(
+            [self.prepare_audio_latents(num_frames, video_fps, k[1])
+             for k in item_keys], axis=0)
 
         with self._staged("text_encoder") as p:
             ctx_pos = self.encode_prompt(prompts, params=p)
@@ -341,6 +360,11 @@ class MOVAPipeline:
             cfg_scale_bridge)
 
         results = []
+        # exact AV duration: the audio latent length was rounded UP to the
+        # hop grid (prepare_audio_latents), so trim the decoded waveform to
+        # sr * T / fps samples — keeps the muxed audio track the same length
+        # as the video
+        num_samples = int(self.cfg.audio_vae.sample_rate * num_frames / video_fps)
         # stage the VAEs ONCE around the whole batch (offload mode would
         # otherwise pay host->HBM weight transfers per item)
         with self._staged("video_vae", "audio_vae") as p:
@@ -349,7 +373,7 @@ class MOVAPipeline:
                 video, audio = self._decode_with(
                     p, latents[i:i + 1], audio_latents[i:i + 1])
                 results.append(GenerationResult(
-                    video=video, audio=audio,
+                    video=video, audio=audio[:num_samples],
                     sample_rate=self.cfg.audio_vae.sample_rate, fps=video_fps))
         return results
 
@@ -360,8 +384,9 @@ class MOVAPipeline:
         pt, ph, pw = vcfg.patch_size
         grid = (latents.shape[2] // pt, latents.shape[3] // ph,
                 latents.shape[4] // pw)
-        rope_pack = make_rope_pack(vcfg, self.cfg.audio_dit, self.cfg.bridge,
-                                   grid, audio_latents.shape[2], video_fps)
+        rope_pack = make_rope_pack(
+            vcfg, self.cfg.audio_dit, self.cfg.bridge, grid,
+            audio_latents.shape[2] // self.cfg.audio_dit.patch_size, video_fps)
 
         if self.offload == "none":
             run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch,

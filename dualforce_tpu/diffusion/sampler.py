@@ -140,7 +140,7 @@ def denoise_loop(
     if use_cfg and cfg_batch:
         ctx_both = jnp.concatenate([ctx_pos, ctx_neg], axis=0)
 
-    def run_tower(video_params, ctx, mi, al, tt, att, bridge_scale=1.0):
+    def run_tower(video_params, ctx, mi, al, tt, att, bridge_scale=None):
         return dual_tower_step(
             video_params, audio_params, bridge_params,
             cfg.video_dit, cfg.audio_dit, cfg.bridge,
@@ -213,7 +213,13 @@ def denoise_loop(
 
     def make_body(video_params, phase_start):
         def body(i, carry):
-            lat, alat, v_negc, a_negc = carry
+            # the negative-cache buffers exist in the carry ONLY when the
+            # cache is on — otherwise two latents-sized dead buffers would
+            # ride through the whole loop
+            if cache_neg:
+                lat, alat, v_negc, a_negc = carry
+            else:
+                lat, alat = carry
             t = jnp.full((b,), pair_t[i, 0], jnp.float32)
             at = jnp.full((b,), pair_t[i, 1], jnp.float32)
             if cache_neg:
@@ -224,12 +230,13 @@ def denoise_loop(
                 v_pred, a_pred = predict(video_params, lat, alat, t, at)
             lat = lat + v_pred * (sig_v[i + 1] - sig_v[i])
             alat = alat + a_pred * (sig_a[i + 1] - sig_a[i])
-            return lat, alat, v_negc, a_negc
+            return ((lat, alat, v_negc, a_negc) if cache_neg else (lat, alat))
 
         return body
 
-    carry = (latents, audio_latents,
-             jnp.zeros_like(latents), jnp.zeros_like(audio_latents))
+    carry = (latents, audio_latents)
+    if cache_neg:
+        carry = carry + (jnp.zeros_like(latents), jnp.zeros_like(audio_latents))
     if _range is not None:
         start, stop = _range
         if stop > start:
@@ -246,17 +253,3 @@ def denoise_loop(
                                   make_body(video_params_low, split), carry)
     return carry[0], carry[1]
 
-
-def jit_denoise(cfg: MOVAConfig, plan: SamplePlan, **static_kwargs):
-    """Return a jitted denoise function with static config/plan baked in."""
-    fn = partial(denoise_loop, cfg=cfg, plan=plan, **static_kwargs)
-
-    @partial(jax.jit, donate_argnums=(4, 6))
-    def run(video_hi, video_lo, audio_params, bridge_params,
-            latents, condition, audio_latents, ctx_pos, ctx_neg, rope_pack):
-        return fn(video_hi, video_lo, audio_params, bridge_params,
-                  latents=latents, condition=condition,
-                  audio_latents=audio_latents, ctx_pos=ctx_pos, ctx_neg=ctx_neg,
-                  rope_pack=rope_pack)
-
-    return run

@@ -80,7 +80,7 @@ def dual_tower_step(
     timestep: jnp.ndarray,         # [B]
     audio_timestep: Optional[jnp.ndarray] = None,
     video_fps: float = 24.0,
-    condition_scale: Optional[float] = 1.0,
+    condition_scale: Optional[float] = None,
     a2v_condition_scale: Optional[float] = None,
     v2a_condition_scale: Optional[float] = None,
     compute_dtype=jnp.bfloat16,

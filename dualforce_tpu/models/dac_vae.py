@@ -139,7 +139,7 @@ def decoder_block_init(key, cin, cout, dtype=jnp.float32):
     ks = jax.random.split(key, 4)
     return {
         "snake": _snake_init(cin, dtype),
-        "up": _conv_init(ks[0], 0, 0, 0, dtype),  # placeholder; caller sets shape
+        "up": None,  # caller must set (decoder_init does); fail fast otherwise
         "ru1": residual_unit_init(ks[1], cout, dtype),
         "ru2": residual_unit_init(ks[2], cout, dtype),
         "ru3": residual_unit_init(ks[3], cout, dtype),

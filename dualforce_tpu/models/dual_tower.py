@@ -43,7 +43,7 @@ def forward_dual_tower(
     visual_rope: Tuple[jnp.ndarray, jnp.ndarray],
     audio_rope: Tuple[jnp.ndarray, jnp.ndarray],
     cross_rope=None,           # ((cos_v, sin_v), (cos_a, sin_a)) or None
-    condition_scale: Optional[float] = 1.0,
+    condition_scale: Optional[float] = None,
     a2v_condition_scale: Optional[float] = None,
     v2a_condition_scale: Optional[float] = None,
     attn_impl: str = "auto",

@@ -63,7 +63,7 @@ def sp_forward_blocks(
     visual_rope,               # (cos, sin) [Lv, d/2] full
     audio_rope,                # (cos, sin) [La, d/2] full
     cross_rope=None,           # ((cos_v, sin_v), (cos_a, sin_a)) [1, L, head_dim]
-    condition_scale: Optional[float] = 1.0,
+    condition_scale: Optional[float] = None,
     attn_impl: str = "auto",
     remat: bool = False,
     axis: str = "cp",

@@ -213,3 +213,58 @@ def test_dual_tower_step_parity_pooled_adaln():
         compute_dtype=jnp.float32, attn_impl="ref")
     np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(), rtol=2e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(got_a), want_a.numpy(), rtol=2e-3, atol=5e-4)
+
+
+def test_trainable_condition_scale_is_used():
+    """With trainable_condition_scale=True and NO external scale, the bridge
+    residual must be scaled by the PARAM (regression: an external default of
+    1.0 used to shadow it — interactionv2.py:526-535 semantics)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from dualforce_tpu.config import tiny_test_config
+    from dualforce_tpu.diffusion.step import dual_tower_step, make_rope_pack
+    from dualforce_tpu.models.factory import init_pipeline_params
+
+    cfg = tiny_test_config(visual_layers=2, audio_layers=1)
+    cfg = dataclasses.replace(
+        cfg, bridge=dataclasses.replace(cfg.bridge,
+                                        trainable_condition_scale=True))
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg,
+                                  with_vaes=False, with_text=False,
+                                  two_video_towers=False)
+    assert "condition_scale" in params["bridge"]
+    F, H, W = 3, 2, 4
+    La = 10
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    visual = jax.random.normal(ks[0], (1, cfg.video_dit.in_dim, F, 2 * H, 2 * W))
+    audio = jax.random.normal(ks[1], (1, cfg.audio_dit.in_dim, La))
+    ctx = jax.random.normal(ks[2], (1, 16, cfg.video_dit.text_dim))
+    t = jnp.full((1,), 500.0)
+    rope = make_rope_pack(cfg.video_dit, cfg.audio_dit, cfg.bridge,
+                          (F, H, W), La, 24.0)
+
+    def run(params, external=None):
+        return dual_tower_step(
+            params["video_dit"], params["audio_dit"], params["bridge"],
+            cfg.video_dit, cfg.audio_dit, cfg.bridge, visual, audio, ctx,
+            t, t, video_fps=24.0, compute_dtype=jnp.float32,
+            attn_impl="ref", rope_pack=rope, condition_scale=external)
+
+    # param scale 0 with no external arg == external 0 (bridge off)
+    p0 = jax.tree.map(lambda x: x, params)
+    p0["bridge"] = {**params["bridge"],
+                    "condition_scale": jnp.zeros((1,), jnp.float32)}
+    v_param0, a_param0 = run(p0)
+    v_ext0, a_ext0 = run(params, external=0.0)
+    assert jnp.allclose(v_param0, v_ext0) and jnp.allclose(a_param0, a_ext0)
+
+    # ...and differs from the param-scale-1 output (the param is LIVE)
+    v1, _ = run(params)  # param scale = 1.0 (init)
+    assert not jnp.allclose(v_param0, v1)
+
+    # explicit external scale still wins over the param
+    v_ext1, _ = run(p0, external=1.0)
+    assert jnp.allclose(v_ext1, v1)
