@@ -290,7 +290,8 @@ def load_pipeline_params(ckpt_dir: str, cfg: Optional[MOVAConfig] = None,
     meta_path = cache_path + ".meta.json"
     src_mtime = max((os.path.getmtime(os.path.join(r, f))
                      for r, _, fs in os.walk(ckpt_dir) for f in fs
-                     if f.endswith((".safetensors", ".bin"))), default=0.0)
+                     if f.endswith((".safetensors", ".bin", ".pt", ".pth"))),
+                    default=0.0)
     want_meta = {"dtype": jnp.dtype(dtype).name, "src_mtime": src_mtime}
     if cache and os.path.isdir(cache_path) and os.listdir(cache_path):
         have_meta = {}

@@ -149,12 +149,27 @@ def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
 
 def make_data_iter(dataset, tokenizer, batch_size: int = 1, shuffle: bool = True,
                    seed: int = 0, num_workers: int = 2, max_text_len: int = 512,
-                   epochs: Optional[int] = None) -> Iterator[Dict[str, Any]]:
+                   epochs: Optional[int] = None,
+                   drop_last: bool = True) -> Iterator[Dict[str, Any]]:
     """Background-threaded prefetch iterator yielding jit-ready batches
-    (tokenized captions included)."""
+    (tokenized captions included). drop_last (default True) skips a trailing
+    partial batch: a different leading dim would force a train-step recompile
+    and break data-axis divisibility on a sharded mesh."""
     rng = np.random.default_rng(seed)
     q: queue.Queue = queue.Queue(maxsize=4)
     stop = threading.Event()
+
+    def put_or_stop(item) -> bool:
+        """q.put that keeps honoring `stop` — a consumer that exits early
+        (max_steps mid-epoch) must not leave workers blocked on a full queue
+        forever, pinning their batches."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def order():
         epoch = 0
@@ -181,7 +196,8 @@ def make_data_iter(dataset, tokenizer, batch_size: int = 1, shuffle: bool = True
                         for _ in range(batch_size):
                             batch_idx.append(next(idx_iter))
                     except StopIteration:
-                        if not batch_idx:
+                        if not batch_idx or (drop_last and
+                                             len(batch_idx) < batch_size):
                             return
                 samples = [dataset[i] for i in batch_idx]
                 batch = collate(samples)
@@ -191,14 +207,15 @@ def make_data_iter(dataset, tokenizer, batch_size: int = 1, shuffle: bool = True
                                 return_tensors="np")
                 batch["text_ids"] = tok["input_ids"]
                 batch["text_mask"] = tok["attention_mask"]
-                q.put(batch)
+                if not put_or_stop(batch):
+                    return
         except BaseException as e:  # noqa: BLE001 — surface, don't hang
-            q.put(e)
+            put_or_stop(e)
         finally:
             with lock:
                 alive[0] -= 1
                 if alive[0] == 0:
-                    q.put(None)
+                    put_or_stop(None)
 
     threads = [threading.Thread(target=worker, daemon=True)
                for _ in range(n_workers)]

@@ -72,7 +72,7 @@ class MOVAPipeline:
 
     def __init__(self, cfg: MOVAConfig, params: Dict[str, Any], tokenizer=None,
                  compute_dtype=jnp.bfloat16, attn_impl: str = "auto",
-                 offload: str = "none"):
+                 offload: str = "none", mesh=None):
         """offload: "none" (weights HBM-resident, the TPU-native default) or
         "component" — the escape hatch for chips whose HBM can't hold the
         full pipeline (reference's enable_model_cpu_offload +
@@ -87,8 +87,21 @@ class MOVAPipeline:
         if offload not in ("none", "component"):
             raise ValueError(f"unknown offload mode {offload!r}")
         self.offload = offload
+        # mesh: enables the cp/data activation-sharding hints during tracing
+        # — without them a cp mesh replicates the sequence (parallel/hints.py)
+        self.mesh = mesh
         self.scheduler = FlowMatchPairScheduler(cfg.scheduler)
         self._denoise_cache: Dict[Tuple, Any] = {}
+
+    def _sharding_hints(self):
+        if self.mesh is None or getattr(self.mesh, "shape", {}).get("cp", 1) == 1:
+            return contextlib.nullcontext()
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dualforce_tpu.parallel.hints import sharding_hints
+
+        tok = NamedSharding(self.mesh, P("data", "cp", None))
+        return sharding_hints(video_tokens=tok, audio_tokens=tok)
 
     # --- component offload staging -------------------------------------------
     @contextlib.contextmanager
@@ -298,7 +311,8 @@ class MOVAPipeline:
                 abstract["ctx_neg"], rope_abstract)
         # register the executable with the dispatcher: jit's own cache is NOT
         # populated by lower().compile(), so the first real call would retrace
-        run._warm[_arg_sig(args)] = run._jit.lower(*args).compile()
+        with self._sharding_hints():
+            run._warm[_arg_sig(args)] = run._jit.lower(*args).compile()
 
     # --- batched generation (serving path) -----------------------------------
     def generate(
@@ -392,10 +406,12 @@ class MOVAPipeline:
             run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch,
                                     cfg_cache_interval=cfg_cache_interval,
                                     cfg_scale_bridge=cfg_scale_bridge)
-            return run(
-                self.params["video_dit"], self.params.get("video_dit_2"),
-                self.params["audio_dit"], self.params["bridge"],
-                latents, condition, audio_latents, ctx_pos, ctx_neg, rope_pack)
+            with self._sharding_hints():
+                return run(
+                    self.params["video_dit"], self.params.get("video_dit_2"),
+                    self.params["audio_dit"], self.params["bridge"],
+                    latents, condition, audio_latents, ctx_pos, ctx_neg,
+                    rope_pack)
 
         # two expert phases as separate jitted programs; only the active
         # 14B tower is HBM-resident (pipeline_mova.py:403-419 behavior)
@@ -461,6 +477,15 @@ class MOVAPipeline:
             lambda x: x.astype(self.compute_dtype), params["video_vae"])}
 
     def _decode_with(self, params, latents, audio_latents):
+        # Replicate denoise outputs before decoding: the loop leaves an
+        # accidental partitioning on the latents (e.g. [1,2,2,2,1] over a
+        # fsdp x cp mesh), and XLA's SPMD conv partitioning of the 3D-causal
+        # decoder on such inputs measurably DIVERGES from the replicated
+        # decode (maxdiff 75/255 on the CPU backend, same values, verified
+        # decode(sharded) != decode(replicated copy)). The latents are tiny
+        # (~11 MB at 360p) — a host round-trip is free next to the decode.
+        latents = jnp.asarray(np.asarray(latents))
+        audio_latents = jnp.asarray(np.asarray(audio_latents))
         vcfg = self.cfg.video_vae
         z = jnp.transpose(latents, (0, 2, 3, 4, 1))        # channels-last
         z = wan_vae.denormalize_latents(z, vcfg)

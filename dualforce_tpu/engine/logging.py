@@ -79,6 +79,7 @@ def build_logger(kind: Optional[str], log_dir: str, is_main: bool = True) -> Bas
     if kind in ("tensorboard", "both"):
         try:
             loggers.append(TensorBoardLogger(log_dir))
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001
+            print(f"[logger] tensorboard requested but unavailable ({e!r}); "
+                  "continuing with JSONL only")
     return CompositeLogger(loggers)

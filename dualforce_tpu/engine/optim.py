@@ -154,6 +154,11 @@ def _register_optax(name: str, make):
     def factory(lr=1e-4, max_grad_norm: Optional[float] = 1.0, schedule=None,
                 **kw):
         tx = make(schedule if schedule is not None else lr, kw)
+        # torch parity: every torch.optim optimizer accepts weight_decay;
+        # factories without a native one get decoupled decay chained in
+        wd = kw.pop("weight_decay", 0.0)
+        if wd:
+            tx = optax.chain(optax.add_decayed_weights(wd), tx)
         if kw:
             raise TypeError(f"{name}: unknown kwargs {sorted(kw)}")
         if max_grad_norm:

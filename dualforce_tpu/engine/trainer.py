@@ -85,10 +85,16 @@ class LoRATrainer:
         # int8 moments, the bnb low-resource setup) — trainer.optimizer in
         # configs (accelerate_train.py's OPTIMIZERS registry equivalent)
         opt_factory = OPTIMIZERS.get(tcfg.optimizer)
-        self.optimizer = opt_factory(lr=tcfg.lr, betas=tcfg.betas,
-                                     weight_decay=tcfg.weight_decay,
-                                     max_grad_norm=tcfg.max_grad_norm,
-                                     schedule=schedule)
+        opt_kwargs = dict(lr=tcfg.lr, betas=tcfg.betas,
+                          weight_decay=tcfg.weight_decay,
+                          max_grad_norm=tcfg.max_grad_norm, schedule=schedule)
+        try:
+            self.optimizer = opt_factory(**opt_kwargs)
+        except TypeError:
+            # non-Adam-family optimizers (SGD, RMSprop, ...) reject `betas`
+            # like torch.optim does; retry without it
+            opt_kwargs.pop("betas")
+            self.optimizer = opt_factory(**opt_kwargs)
         self.opt_state = self.optimizer.init(self.lora)
         self.global_step = 0
         self.logger = build_logger(tcfg.logger, tcfg.save_dir, is_main)

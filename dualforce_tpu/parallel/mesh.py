@@ -27,9 +27,12 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     jax.distributed reads cluster env vars automatically on TPU pods
     (TPU_WORKER_ID etc.); explicit args or COORDINATOR_ADDRESS /
     NUM_PROCESSES / PROCESS_ID env vars cover manual launches. No-op when
-    single-process (no coordinator discoverable)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    single-process (no coordinator discoverable).
+
+    Must run BEFORE any other jax call: even jax.process_count() initializes
+    the local backend, after which distributed init raises — and swallowing
+    that error would silently degrade every host to its own 1-process world.
+    """
     coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     kw = {}
     if coordinator_address:
@@ -42,10 +45,9 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         )
     elif not os.environ.get("TPU_WORKER_HOSTNAMES"):
         return  # single host, nothing to initialize
-    try:
-        jax.distributed.initialize(**kw)
-    except RuntimeError:
-        pass  # already initialized by the launcher
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(**kw)
 
 
 def create_mesh(data: int = 1, fsdp: int = 1, cp: int = 1,

@@ -114,7 +114,12 @@ def make_pipeline_batch_backend(pipe) -> Callable:
         h, w = p0["height"], p0["width"]
         images = []
         for t in tasks:
-            img = Image.open(io.BytesIO(bytes.fromhex(t.params["image_hex"]))).convert("RGB")
+            if t.params.get("image_path"):
+                with open(t.params["image_path"], "rb") as f:
+                    raw = f.read()
+            else:
+                raw = bytes.fromhex(t.params.get("image_hex", ""))
+            img = Image.open(io.BytesIO(raw)).convert("RGB")
             images.append(image_to_tensor(crop_and_resize(img, h, w)))
         results = pipe.generate(
             prompts=[t.prompt for t in tasks], images=images,
@@ -235,6 +240,10 @@ class VideoServer:
                     results = self.batch_backend(group, self.out_dir)
                 else:
                     results = [self.backend(t, self.out_dir) for t in group]
+                if len(results) != len(group):
+                    raise RuntimeError(
+                        f"backend returned {len(results)} results for "
+                        f"{len(group)} tasks")  # -> whole group marked failed
                 for t, result in zip(group, results):
                     self.store.update(
                         t.task_id, status="completed", progress=1.0,
@@ -279,8 +288,15 @@ class VideoServer:
         except (ValueError, TypeError) as e:
             return web.json_response(
                 {"error": f"invalid request field: {e}"}, status=400)
+        task_id = uuid.uuid4().hex[:16]
+        # reference image goes to DISK: keeping hex payloads in Task params
+        # would make tasks.json (rewritten on every status update) grow by
+        # 2x the image size per task, forever
+        image_path = os.path.join(self.out_dir, f"{task_id}.input.bin")
+        with open(image_path, "wb") as f:
+            f.write(image_bytes)
         task = Task(
-            task_id=uuid.uuid4().hex[:16],
+            task_id=task_id,
             prompt=fields.get("prompt", ""),
             params={
                 "negative_prompt": fields.get("negative_prompt", ""),
@@ -291,7 +307,7 @@ class VideoServer:
                 "guidance_scale": guidance,
                 "guidance_scale_bridge": guidance_bridge,
                 "num_inference_steps": steps,
-                "image_hex": image_bytes.hex(),
+                "image_path": image_path,
             })
         self.store.add(task)
         self.queue.put(task.task_id)

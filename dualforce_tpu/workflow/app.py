@@ -113,14 +113,20 @@ def attach_ui(server, wf_cfg: WorkflowConfig | None = None):
         from dualforce_tpu.serving.server import Task
         import uuid
 
-        task = Task(task_id=uuid.uuid4().hex[:16], prompt=full_prompt,
+        task_id = uuid.uuid4().hex[:16]
+        import os
+
+        image_path = os.path.join(server.out_dir, f"{task_id}.input.bin")
+        with open(image_path, "wb") as f:
+            f.write(image_bytes)
+        task = Task(task_id=task_id, prompt=full_prompt,
                     params={"negative_prompt": "", "height": h, "width": w,
                             "num_frames": int(body.get("num_frames", 193)),
                             "fps": float(body.get("fps", 24.0)),
                             "seed": int(body.get("seed", 42)),
                             "guidance_scale": float(body.get("guidance_scale", 5.0)),
                             "num_inference_steps": int(body.get("num_inference_steps", 50)),
-                            "image_hex": image_bytes.hex()})
+                            "image_path": image_path})
         server.store.add(task)
         server.queue.put(task.task_id)
         return web.json_response({"task_id": task.task_id,

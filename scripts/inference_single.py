@@ -153,7 +153,7 @@ def main():
               f"HBM in use: {hbm_in_use_gb():.1f} GB")
 
     pipe = MOVAPipeline(cfg, params, tokenizer=tokenizer, attn_impl=args.attn_type,
-                        offload=offload)
+                        offload=offload, mesh=mesh)
 
     image = Image.open(args.ref_path).convert("RGB")
     image = crop_and_resize(image, args.height, args.width)

@@ -79,11 +79,13 @@ def main():
     print(f"[info] merged LoRA (rank={lcfg['rank']}, alpha={alpha}, "
           f"scale={args.lora_scale})")
 
+    mesh = None
     if args.cp_size * args.fsdp_size > 1:
         mesh = create_mesh(1, args.fsdp_size, args.cp_size)
         params = shard_params(params, mesh)
 
-    pipe = MOVAPipeline(cfg, params, tokenizer=load_tokenizer(args.base_model))
+    pipe = MOVAPipeline(cfg, params, tokenizer=load_tokenizer(args.base_model),
+                        mesh=mesh)
     image = crop_and_resize(Image.open(args.ref_path).convert("RGB"),
                             args.height, args.width)
     result = pipe(

@@ -58,11 +58,12 @@ def main():
 
     cfg = config_from_checkpoint(args.ckpt_path)
     params = load_pipeline_params(args.ckpt_path, cfg)
+    mesh = None
     if args.cp_size * args.fsdp_size > 1:
         mesh = create_mesh(1, args.fsdp_size, args.cp_size)
         params = shard_params(params, mesh)
     pipe = MOVAPipeline(cfg, params, tokenizer=load_tokenizer(args.ckpt_path),
-                        attn_impl=args.attn_type)
+                        attn_impl=args.attn_type, mesh=mesh)
     if args.warmup:
         w, h, frames, steps = (int(x) for x in args.warmup.split("x"))
         # batching makes group sizes 1..max_batch possible; warm the common ones

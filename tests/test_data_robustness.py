@@ -47,7 +47,9 @@ def test_fps_mismatch_rejected(tmp_path):
 
 def test_finite_epoch_delivers_all_batches(tmp_path):
     """End-of-epoch with num_workers > 1: the sentinel must come after every
-    in-flight batch (the last exiting worker sends it)."""
+    in-flight batch (the last exiting worker sends it). Default drop_last=True
+    skips the partial tail (a different leading dim would recompile the train
+    step and break data-axis divisibility); drop_last=False keeps it."""
     items = []
     for i in range(7):
         _write_clip(tmp_path / f"ok{i}.npz")
@@ -55,6 +57,10 @@ def test_finite_epoch_delivers_all_batches(tmp_path):
     ds = _dataset(tmp_path, items)
     batches = list(make_data_iter(ds, Tok(), batch_size=2, num_workers=3,
                                   epochs=1))
+    assert sum(b["video"].shape[0] for b in batches) == 6
+    assert all(b["video"].shape[0] == 2 for b in batches)
+    batches = list(make_data_iter(ds, Tok(), batch_size=2, num_workers=3,
+                                  epochs=1, drop_last=False))
     assert sum(b["video"].shape[0] for b in batches) == 7
 
 

@@ -215,3 +215,33 @@ def test_dual_cfg():
     plain = pipe("hello", image, **kw1)
     dual_only = pipe("hello", image, cfg_scale_bridge=2.0, **kw1)
     assert not np.array_equal(dual_only.video, plain.video)
+
+
+def test_generate_on_cp_mesh_matches_single_device():
+    """Public-pipeline cp equivalence: MOVAPipeline(mesh=...) with
+    fsdp x cp sharded params must reproduce the single-device generation
+    (regression: the mesh used to be cosmetic — no activation sharding hints
+    were installed outside __graft_entry__, so cp replicated the sequence)."""
+    from dualforce_tpu.parallel.mesh import create_mesh
+    from dualforce_tpu.parallel.sharding import shard_params
+
+    cfg = tiny_test_config()
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+    image = np.random.default_rng(3).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    kw = dict(seed=5, height=32, width=32, num_frames=5,
+              num_inference_steps=2, cfg_scale=3.0)
+
+    ref = MOVAPipeline(cfg, params, tokenizer=FakeTokenizer(),
+                       compute_dtype=jax.numpy.float32, attn_impl="ref")(
+        "a bird", image, **kw)
+
+    mesh = create_mesh(1, 2, 4)   # 8 virtual CPU devices (conftest)
+    sharded = shard_params(params, mesh)
+    got = MOVAPipeline(cfg, sharded, tokenizer=FakeTokenizer(),
+                       compute_dtype=jax.numpy.float32, attn_impl="ref",
+                       mesh=mesh)("a bird", image, **kw)
+
+    # fp32 collectives may reorder reductions: allow 1-count uint8 wobble
+    assert np.max(np.abs(ref.video.astype(np.int16)
+                         - got.video.astype(np.int16))) <= 1
+    np.testing.assert_allclose(ref.audio, got.audio, atol=1e-4)
