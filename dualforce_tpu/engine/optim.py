@@ -191,7 +191,7 @@ _register_optax("AdaBelief", lambda lr, kw: optax.adabelief(
 _register_optax("SGD", lambda lr, kw: optax.sgd(
     lr, momentum=kw.pop("momentum", None), nesterov=kw.pop("nesterov", False)))
 _register_optax("RMSprop", lambda lr, kw: optax.rmsprop(
-    lr, decay=kw.pop("alpha", 0.9), eps=kw.pop("eps", 1e-8),
+    lr, decay=kw.pop("alpha", 0.99), eps=kw.pop("eps", 1e-8),
     momentum=kw.pop("momentum", None) or None))
 _register_optax("Adagrad", lambda lr, kw: optax.adagrad(
     lr, initial_accumulator_value=kw.pop("initial_accumulator_value", 0.1),

@@ -43,8 +43,13 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
             process_id=int(process_id if process_id is not None
                            else os.environ.get("PROCESS_ID", 0)),
         )
-    elif not os.environ.get("TPU_WORKER_HOSTNAMES"):
-        return  # single host, nothing to initialize
+    else:
+        # TPU-pod autodetect: only a MULTI-entry worker list means a real
+        # cluster (single-host runtimes, incl. the axon tunnel, export
+        # TPU_WORKER_HOSTNAMES=localhost)
+        hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if len([h for h in hosts.split(",") if h]) <= 1:
+            return  # single host, nothing to initialize
     if jax.distributed.is_initialized():
         return
     jax.distributed.initialize(**kw)

@@ -9,6 +9,7 @@ scoping (SURVEY.md §5.1).
 from __future__ import annotations
 
 import contextlib
+import functools as _functools
 import time
 from typing import Dict, Optional
 
@@ -70,3 +71,23 @@ def setup_compile_cache(path: Optional[str]):
 
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+@_functools.lru_cache(maxsize=1)
+def host_callbacks_supported() -> bool:
+    """Whether the backend supports host send/recv callbacks
+    (jax.debug.callback / io_callback). The axon tunnel PJRT does NOT —
+    per-step progress reporting must degrade gracefully there."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        def f(x):
+            jax.debug.callback(lambda v: None, x)
+            return x + 1
+
+        jax.jit(f)(jnp.zeros(())).block_until_ready()
+        return True
+    except Exception:  # noqa: BLE001 — any failure means "don't use them"
+        return False

@@ -79,8 +79,10 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from dualforce_tpu.parallel.mesh import initialize_distributed
     from dualforce_tpu.utils.misc import setup_compile_cache
 
+    initialize_distributed()  # multi-host: must precede any other jax use
     setup_compile_cache(args.compile_cache)
     import numpy as np
     from PIL import Image

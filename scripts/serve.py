@@ -36,12 +36,11 @@ def main():
                     help="persistent XLA compilation cache dir ('' disables)")
     args = ap.parse_args()
 
-    import jax
-
+    from dualforce_tpu.parallel.mesh import initialize_distributed
     from dualforce_tpu.utils.misc import setup_compile_cache
 
+    initialize_distributed()  # multi-host: must precede any other jax use
     setup_compile_cache(args.compile_cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from dualforce_tpu.convert.load_checkpoint import (
         config_from_checkpoint,
