@@ -92,6 +92,34 @@ class MOVAPipeline:
         self.mesh = mesh
         self.scheduler = FlowMatchPairScheduler(cfg.scheduler)
         self._denoise_cache: Dict[Tuple, Any] = {}
+        # per-step progress: a STABLE trampoline is traced into the denoise
+        # program (jax.debug.callback); swap the target at runtime without
+        # retracing by assigning pipe.progress_cb = fn(step, total)
+        self.progress_cb = None
+        from dualforce_tpu.utils.misc import host_callbacks_supported
+
+        # the axon tunnel PJRT rejects host callbacks entirely — compiling
+        # one in would fail EVERY generation there, so probe once
+        self._progress_supported = host_callbacks_supported()
+
+    @property
+    def _traced_progress_fn(self):
+        return self._progress_fn if self._progress_supported else None
+
+    def _progress_fn(self, step, total):
+        cb = self.progress_cb
+        if cb is not None:
+            try:
+                cb(int(step), int(total))
+            except Exception:  # noqa: BLE001 — progress must never kill a run
+                pass
+
+    def _sp_mesh(self):
+        """Mesh to run the block stack sequence-parallel over (cp axis) —
+        the production ring/Ulysses-equivalent path (parallel/sp.py)."""
+        if self.mesh is not None and self.mesh.shape.get("cp", 1) > 1:
+            return self.mesh
+        return None
 
     def _sharding_hints(self):
         if self.mesh is None or getattr(self.mesh, "shape", {}).get("cp", 1) == 1:
@@ -225,7 +253,9 @@ class MOVAPipeline:
                         cfg_batch=cfg_batch, compute_dtype=self.compute_dtype,
                         attn_impl=self.attn_impl, rope_pack=rope_pack,
                         cfg_cache_interval=cfg_cache_interval,
-                        cfg_scale_bridge=cfg_scale_bridge)
+                        cfg_scale_bridge=cfg_scale_bridge,
+                        sp_mesh=self._sp_mesh(),
+                        progress_fn=self._traced_progress_fn)
             else:
                 start, stop = phase
 
@@ -239,7 +269,9 @@ class MOVAPipeline:
                         cfg_batch=cfg_batch, compute_dtype=self.compute_dtype,
                         attn_impl=self.attn_impl, rope_pack=rope_pack,
                         cfg_cache_interval=cfg_cache_interval,
-                        cfg_scale_bridge=cfg_scale_bridge)
+                        cfg_scale_bridge=cfg_scale_bridge,
+                        sp_mesh=self._sp_mesh(),
+                        progress_fn=self._traced_progress_fn)
 
             jit_fn = jax.jit(run)
             warm: Dict[Tuple, Any] = {}

@@ -90,6 +90,8 @@ def denoise_range(
     rope_pack=None,
     cfg_cache_interval: int = 1,
     cfg_scale_bridge: float = 0.0,
+    sp_mesh=None,
+    progress_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Steps [start, stop) of the paired flow-match loop with a single video
     expert. The component-offload path runs the two expert phases as separate
@@ -101,7 +103,8 @@ def denoise_range(
         cfg_scale=cfg_scale, video_fps=video_fps, cfg_batch=cfg_batch,
         compute_dtype=compute_dtype, attn_impl=attn_impl, rope_pack=rope_pack,
         cfg_cache_interval=cfg_cache_interval,
-        cfg_scale_bridge=cfg_scale_bridge, _range=(start, stop))
+        cfg_scale_bridge=cfg_scale_bridge, sp_mesh=sp_mesh,
+        progress_fn=progress_fn, _range=(start, stop))
 
 
 def denoise_loop(
@@ -124,8 +127,14 @@ def denoise_loop(
     rope_pack=None,
     cfg_cache_interval: int = 1,
     cfg_scale_bridge: float = 0.0,
+    sp_mesh=None,
+    progress_fn=None,
     _range: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """progress_fn(step, total): host callback fired per denoise step from
+    INSIDE the compiled loop (jax.debug.callback — async, no device sync);
+    the serving layer surfaces it as task progress. Must be a stable
+    function object: it is baked into the traced program."""
     pair_t = jnp.asarray(plan.pair_timesteps)     # [N, 2]
     sig_v = jnp.asarray(plan.sigmas_visual)       # [N+1]
     sig_a = jnp.asarray(plan.sigmas_audio)
@@ -147,7 +156,7 @@ def denoise_loop(
             mi, al, ctx, tt, att,
             video_fps=video_fps, compute_dtype=compute_dtype,
             attn_impl=attn_impl, rope_pack=rope_pack,
-            condition_scale=bridge_scale)
+            condition_scale=bridge_scale, sp_mesh=sp_mesh)
 
     def bridge_guidance(video_params, model_in, alat, t, at, v_pos, a_pos):
         """s_B * (pos - pos_with_bridge_off): the direction the bridge pulls
@@ -230,6 +239,8 @@ def denoise_loop(
                 v_pred, a_pred = predict(video_params, lat, alat, t, at)
             lat = lat + v_pred * (sig_v[i + 1] - sig_v[i])
             alat = alat + a_pred * (sig_a[i + 1] - sig_a[i])
+            if progress_fn is not None:
+                jax.debug.callback(progress_fn, i + 1, plan.num_steps)
             return ((lat, alat, v_negc, a_negc) if cache_neg else (lat, alat))
 
         return body

@@ -88,6 +88,9 @@ def dual_tower_step(
     remat: bool = False,
     ctx_valid_len=None,
     rope_pack=None,
+    sp_mesh=None,
+    sp_axis: str = "cp",
+    sp_data_axis: Optional[str] = "data",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if audio_timestep is None:
         audio_timestep = timestep
@@ -115,19 +118,41 @@ def dual_tower_step(
     (a_cos, a_sin) = rope_pack["a"]
     cross_rope = rope_pack.get("cross")
 
-    visual_x, audio_x = forward_dual_tower(
-        video_params["blocks"], audio_params["blocks"], bridge_params,
-        vcfg, acfg, bcfg,
-        visual_x, audio_x, visual_ctx, audio_ctx, v_t_mod, a_t_mod,
-        (jnp.asarray(v_cos), jnp.asarray(v_sin)),
-        (jnp.asarray(a_cos), jnp.asarray(a_sin)),
-        cross_rope=cross_rope,
-        condition_scale=condition_scale,
-        a2v_condition_scale=a2v_condition_scale,
-        v2a_condition_scale=v2a_condition_scale,
-        attn_impl=attn_impl, remat=remat, ctx_valid_len=ctx_valid_len,
-        video_grid=grid,
-    )
+    if sp_mesh is not None and sp_mesh.shape.get(sp_axis, 1) > 1:
+        # PRODUCTION sequence parallelism: the block stack runs inside a
+        # shard_map over `cp` — ring/gather-KV/LSE-combined attention per
+        # shard (parallel/sp.py) instead of GSPMD hints around an opaque
+        # Pallas custom call (reference USP path, wan_video_dit.py:192-208,
+        # pipeline_mova.py:653-706)
+        from dualforce_tpu.parallel.sp import sp_forward_blocks
+
+        visual_x, audio_x = sp_forward_blocks(
+            sp_mesh, video_params["blocks"], audio_params["blocks"],
+            bridge_params, vcfg, acfg, bcfg,
+            visual_x, audio_x, visual_ctx, audio_ctx, v_t_mod, a_t_mod,
+            (jnp.asarray(v_cos), jnp.asarray(v_sin)),
+            (jnp.asarray(a_cos), jnp.asarray(a_sin)),
+            cross_rope=cross_rope,
+            condition_scale=condition_scale,
+            a2v_condition_scale=a2v_condition_scale,
+            v2a_condition_scale=v2a_condition_scale,
+            attn_impl=attn_impl, remat=remat, ctx_valid_len=ctx_valid_len,
+            axis=sp_axis, data_axis=sp_data_axis,
+        )
+    else:
+        visual_x, audio_x = forward_dual_tower(
+            video_params["blocks"], audio_params["blocks"], bridge_params,
+            vcfg, acfg, bcfg,
+            visual_x, audio_x, visual_ctx, audio_ctx, v_t_mod, a_t_mod,
+            (jnp.asarray(v_cos), jnp.asarray(v_sin)),
+            (jnp.asarray(a_cos), jnp.asarray(a_sin)),
+            cross_rope=cross_rope,
+            condition_scale=condition_scale,
+            a2v_condition_scale=a2v_condition_scale,
+            v2a_condition_scale=v2a_condition_scale,
+            attn_impl=attn_impl, remat=remat, ctx_valid_len=ctx_valid_len,
+            video_grid=grid,
+        )
 
     visual_out = video_dit.head_apply(video_params["head"], visual_x, v_t, vcfg.eps)
     visual_out = nn.unpatchify_3d(visual_out, grid, vcfg.patch_size, vcfg.out_dim)

@@ -97,10 +97,14 @@ def pooled_adaln_condition(p, x, y, grid, num_heads: int, eps: float):
 
 
 def cond_block_apply(p, x, y, x_freqs, y_freqs, *, num_heads: int, eps: float,
-                     attn_impl: str = "auto", video_grid=None):
+                     attn_impl: str = "auto", video_grid=None,
+                     kv_valid_len=None):
     """LayerNorm(y) -> cross-attn with per-side rotate-half RoPE
     (interactionv2.py:227-251, 329-350). When the block carries pooled-AdaLN
-    params, x is first conditioned on per-frame-pooled y."""
+    params, x is first conditioned on per-frame-pooled y.
+
+    kv_valid_len: optional [B] int — mask out padded tail rows of y (the
+    sequence-parallel gathered K/V side)."""
     if "pool" in p:
         if video_grid is None:
             raise ValueError("pooled_adaln requires video_grid")
@@ -117,7 +121,8 @@ def cond_block_apply(p, x, y, x_freqs, y_freqs, *, num_heads: int, eps: float,
         q = apply_rope_half(q, *x_freqs)
     if y_freqs is not None:
         k = apply_rope_half(k, *y_freqs)
-    out = attention(q, k, v, impl=attn_impl).reshape(b, sx, dim)
+    out = attention(q, k, v, kv_valid_len=kv_valid_len,
+                    impl=attn_impl).reshape(b, sx, dim)
     return nn.linear(inner["o"], out)
 
 
@@ -157,13 +162,18 @@ def layer_apply(a2v_p, v2a_p, visual_x, audio_x, visual_freqs, audio_freqs,
 
 
 def cond_block_apply_dist(p, x, y_local, x_freqs, y_freqs_local, *,
-                          num_heads: int, eps: float, sp_axis: str):
+                          num_heads: int, eps: float, sp_axis: str,
+                          attn_impl: str = "auto",
+                          kv_global_valid: Optional[int] = None):
     """Sequence-parallel variant: Q side (`x`) replicated/full, K/V side
     (`y_local`) sequence-sharded over `sp_axis`. Exact softmax via
     LSE-weighted psum of per-rank partials — the bridge's v2a direction
     (403 audio queries vs cp-sharded 43k video tokens) costs one tiny
-    all-reduce instead of gathering the video K/V (SURVEY.md §7.3.1)."""
-    from dualforce_tpu.parallel.ring_attention import lse_combine_cross_attention
+    all-reduce instead of gathering the video K/V (SURVEY.md §7.3.1).
+
+    kv_global_valid: static global K/V token count (padded tails masked)."""
+    from dualforce_tpu.parallel.ring_attention import (
+        inner_for_impl, lse_combine_cross_attention)
 
     b, sx, dim = x.shape
     sy = y_local.shape[1]
@@ -177,19 +187,29 @@ def cond_block_apply_dist(p, x, y_local, x_freqs, y_freqs_local, *,
         q = apply_rope_half(q, *x_freqs)
     if y_freqs_local is not None:
         k = apply_rope_half(k, *y_freqs_local)
-    out = lse_combine_cross_attention(q, k, v, sp_axis).reshape(b, sx, dim)
+    out = lse_combine_cross_attention(
+        q, k, v, sp_axis, inner=inner_for_impl(attn_impl),
+        global_valid_len=kv_global_valid).reshape(b, sx, dim)
     return nn.linear(inner["o"], out)
 
 
 def layer_apply_sp(a2v_p, v2a_p, visual_x, audio_x, visual_freqs_local,
                    audio_freqs_full, cfg: BridgeConfig, sp_axis: str,
-                   a2v_scale=1.0, v2a_scale=1.0, attn_impl: str = "auto"):
+                   a2v_scale=1.0, v2a_scale=1.0, attn_impl: str = "auto",
+                   video_valid: Optional[int] = None,
+                   audio_valid: Optional[int] = None):
     """Bridge interaction under sequence parallelism.
 
     visual_x / audio_x are cp-sharded token chunks. a2v gathers the (tiny)
     audio side as full K/V and attends locally; v2a runs full-audio queries
     against local video K/V with an exact LSE combine, then keeps the local
     audio slice.
+
+    video_valid / audio_valid: static global token counts when the padded
+    global lengths exceed them — pad rows are masked out of BOTH directions'
+    softmax, so cp>1 equals cp=1 exactly even at the real (43120, 403)
+    geometry where 403 % cp != 0 (the reference leaks its zero-pads into
+    the denominators instead, functional.py:55-95).
     """
     import jax
     from jax import lax
@@ -197,16 +217,22 @@ def layer_apply_sp(a2v_p, v2a_p, visual_x, audio_x, visual_freqs_local,
     v_heads = cfg.visual_hidden_dim // cfg.head_dim
     a_heads = cfg.audio_hidden_dim // cfg.head_dim
     la_local = audio_x.shape[1]
+    n_dev = lax.axis_size(sp_axis)
 
     audio_full = lax.all_gather(audio_x, sp_axis, axis=1, tiled=True)
+    a_vlen = None
+    if audio_valid is not None and audio_valid < n_dev * la_local:
+        a_vlen = jnp.full((audio_x.shape[0],), audio_valid, jnp.int32)
 
     dv = cond_block_apply(a2v_p, visual_x, audio_full,
                           visual_freqs_local, audio_freqs_full,
-                          num_heads=v_heads, eps=cfg.eps, attn_impl=attn_impl)
+                          num_heads=v_heads, eps=cfg.eps, attn_impl=attn_impl,
+                          kv_valid_len=a_vlen)
     da_full = cond_block_apply_dist(v2a_p, audio_full, visual_x,
                                     audio_freqs_full, visual_freqs_local,
                                     num_heads=a_heads, eps=cfg.eps,
-                                    sp_axis=sp_axis)
+                                    sp_axis=sp_axis, attn_impl=attn_impl,
+                                    kv_global_valid=video_valid)
     idx = lax.axis_index(sp_axis)
     da_local = lax.dynamic_slice_in_dim(da_full, idx * la_local, la_local, axis=1)
     return (visual_x + dv * jnp.asarray(a2v_scale, visual_x.dtype),

@@ -50,8 +50,16 @@ def forward_dual_tower(
     remat: bool = False,
     ctx_valid_len=None,
     sp_axis: Optional[str] = None,
+    sp_video_valid: Optional[int] = None,
+    sp_audio_valid: Optional[int] = None,
     video_grid=None,
+    layer_param_map=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """layer_param_map(kind, tree): optional per-layer param transform
+    applied to each layer's sliced params inside the scan body — the
+    sequence-parallel path injects the explicit ZeRO-3 all-gather here
+    (weights stay fsdp-sharded in HBM; one layer is gathered at a time and
+    freed after use, re-gathered in the remat backward)."""
     min_layers = bcfg.min_layers
     interact = bcfg.interaction_layers()
     visual_x = constrain(visual_x, "video_tokens")
@@ -66,24 +74,41 @@ def forward_dual_tower(
         bridge_params, bcfg,
         v2a_condition_scale if v2a_condition_scale is not None else condition_scale)
 
-    self_impl = attn_impl
+    v_self_impl = a_self_impl = attn_impl
     cross_impl = None
     if sp_axis is not None:
-        from dualforce_tpu.parallel.ring_attention import ring_attention
+        from dualforce_tpu.parallel.ring_attention import (
+            gather_kv_attention, inner_for_impl, ring_attention)
 
-        def self_impl(q, k, v, kv_valid_len=None):  # noqa: F811 — SP override
-            return ring_attention(q, k, v, sp_axis)
+        ring_inner = inner_for_impl(attn_impl)
+
+        def v_self_impl(q, k, v, kv_valid_len=None):  # noqa: F811 — SP override
+            # 43k-token video self-attn: ring over ICI, pad tail masked
+            return ring_attention(q, k, v, sp_axis, inner=ring_inner,
+                                  global_valid_len=sp_video_valid)
+
+        def a_self_impl(q, k, v, kv_valid_len=None):  # noqa: F811 — SP override
+            # 403-token audio self-attn: gather the ~1 MB K/V once instead of
+            # a launch-bound ring; exact pad masking
+            return gather_kv_attention(q, k, v, sp_axis,
+                                       global_valid_len=sp_audio_valid,
+                                       impl=attn_impl)
 
         cross_impl = attn_impl  # text context replicated -> local attention
 
     vblock = functools.partial(dit_block_apply, num_heads=vcfg.num_heads, eps=vcfg.eps,
-                               attn_impl=self_impl, ctx_valid_len=ctx_valid_len,
+                               attn_impl=v_self_impl, ctx_valid_len=ctx_valid_len,
                                cross_attn_impl=cross_impl)
     ablock = functools.partial(dit_block_apply, num_heads=acfg.num_heads, eps=acfg.eps,
-                               attn_impl=self_impl, ctx_valid_len=ctx_valid_len,
+                               attn_impl=a_self_impl, ctx_valid_len=ctx_valid_len,
                                cross_attn_impl=cross_impl)
 
     def shared_layer(vx, ax, a2v_p, v2a_p, vb_p, ab_p, do_interact: bool):
+        if layer_param_map is not None:
+            a2v_p = layer_param_map("a2v", a2v_p)
+            v2a_p = layer_param_map("v2a", v2a_p)
+            vb_p = layer_param_map("video", vb_p)
+            ab_p = layer_param_map("audio", ab_p)
         if do_interact:
             if sp_axis is not None:
                 if bcfg.pooled_adaln:
@@ -92,7 +117,8 @@ def forward_dual_tower(
                         "pooling needs frame-aligned shards (future work)")
                 vx, ax = bridge_mod.layer_apply_sp(
                     a2v_p, v2a_p, vx, ax, vis_freqs, aud_freqs, bcfg, sp_axis,
-                    a2v_scale, v2a_scale, attn_impl)
+                    a2v_scale, v2a_scale, attn_impl,
+                    video_valid=sp_video_valid, audio_valid=sp_audio_valid)
             else:
                 vx, ax = bridge_mod.layer_apply(
                     a2v_p, v2a_p, vx, ax, vis_freqs, aud_freqs, bcfg,
@@ -138,6 +164,8 @@ def forward_dual_tower(
     num_video_layers = jax.tree.leaves(video_blocks)[0].shape[0]
     if num_video_layers > min_layers:
         def vstep(vx, vb_p):
+            if layer_param_map is not None:
+                vb_p = layer_param_map("video", vb_p)
             return vblock(vb_p, vx, visual_ctx, visual_t_mod, visual_rope), None
 
         vbody = jax.checkpoint(vstep) if remat else vstep

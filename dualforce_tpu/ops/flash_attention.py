@@ -680,22 +680,26 @@ def sage_attention(
 
 # --- (out, lse) variant for sequence-parallel combines -----------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_lse(q, k, v, bq, bk):
-    return _fwd(q, k, v, None, bq, bk, save_lse=True)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_lse(q, k, v, kv_valid_len, bq, bk):
+    return _fwd(q, k, v, kv_valid_len, bq, bk, save_lse=True)
 
 
-def _flash_lse_fwd(q, k, v, bq, bk):
-    o, lse = _fwd(q, k, v, None, bq, bk, save_lse=True)
-    return (o, lse), (q, k, v, o, lse)
+def _flash_lse_fwd(q, k, v, kv_valid_len, bq, bk):
+    o, lse = _fwd(q, k, v, kv_valid_len, bq, bk, save_lse=True)
+    return (o, lse), (q, k, v, o, lse, kv_valid_len)
 
 
 def _flash_lse_bwd(bq, bk, res, cotangents):
-    q, k, v, o, lse = res
+    q, k, v, o, lse, kv_valid_len = res
     do, dlse = cotangents
-    dq, dk, dv = _bwd(q, k, v, o, lse, do.astype(q.dtype), None, bq, bk,
-                      dlse=dlse)
-    return dq, dk, dv
+    dq, dk, dv = _bwd(q, k, v, o, lse, do.astype(q.dtype), kv_valid_len,
+                      bq, bk, dlse=dlse)
+    dvlen = (
+        None if kv_valid_len is None
+        else np.zeros(kv_valid_len.shape, jax.dtypes.float0)
+    )
+    return dq, dk, dv, dvlen
 
 
 _flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
@@ -707,16 +711,25 @@ def flash_attention_with_lse(
     v: jnp.ndarray,
     block_q: int = DEFAULT_BQ,
     block_k: int = DEFAULT_BK,
+    kv_valid_len: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Flash attention returning (out [B,Sq,N,D], lse [B,N,Sq]) with natural-
     log LSE — the inner kernel for ring attention and LSE-combined
     cross-attention (parallel/ring_attention.py). Differentiable in both
-    outputs (the lse cotangent folds into the backward's delta term)."""
+    outputs (the lse cotangent folds into the backward's delta term).
+
+    kv_valid_len: optional [B] int mask — keys at positions >= the per-batch
+    valid length are excluded from the softmax (sequence-parallel padding).
+    Rows with kv_valid_len == 0 are undefined here; the ring/LSE combiners
+    zero them out by their own kv_valid bookkeeping before use."""
     b, sq, n, d = q.shape
     sk = k.shape[1]
     qf = q.transpose(0, 2, 1, 3).reshape(b * n, sq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * n, sk, d)
-    o, lse = _flash_lse(qf, kf, vf, block_q, block_k)
+    vlen = None
+    if kv_valid_len is not None:
+        vlen = jnp.repeat(kv_valid_len.astype(jnp.int32).reshape(b, 1), n, axis=0)
+    o, lse = _flash_lse(qf, kf, vf, vlen, block_q, block_k)
     return (o.reshape(b, n, sq, d).transpose(0, 2, 1, 3),
             lse.reshape(b, n, sq))

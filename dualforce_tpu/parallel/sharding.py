@@ -35,6 +35,13 @@ def _leaf_spec(x, fsdp_size: int) -> P:
     return P(*spec)
 
 
+def param_pspecs(params: Any, fsdp_size: int):
+    """Tree of PartitionSpecs (the _leaf_spec rule) matching `params` —
+    the manual in_specs / per-layer gather plan for the sequence-parallel
+    shard_map (parallel/sp.py)."""
+    return jax.tree.map(lambda x: _leaf_spec(x, fsdp_size), params)
+
+
 def param_shardings(params: Any, mesh: Mesh):
     """Tree of NamedShardings matching `params`."""
     fsdp = mesh.shape.get("fsdp", 1)
@@ -53,3 +60,24 @@ def replicated(mesh: Mesh):
 def activation_spec(batch_axis: bool = True, seq_axis: Optional[str] = None) -> P:
     """[B, S, D] activations: batch over `data`, optionally tokens over `cp`."""
     return P("data" if batch_axis else None, seq_axis, None)
+
+
+def shard_batch(batch: Any, mesh: Mesh):
+    """Shard a host batch over the mesh's `data` axis (leading dim of every
+    array leaf). Replaces the reference's per-rank DataLoader sharding
+    (accelerate's prepare(dataloader)): single-host, this is a device_put
+    with a data-sharded layout; multi-host, each process contributes its
+    LOCAL batch and the global array spans processes
+    (jax.make_array_from_process_local_data)."""
+    data = mesh.shape.get("data", 1)
+
+    def _put(x):
+        x = np.asarray(x)
+        if x.ndim == 0 or data <= 1 or x.shape[0] % data:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        sh = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(_put, batch)
