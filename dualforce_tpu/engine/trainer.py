@@ -62,21 +62,55 @@ class TrainerConfig:
     compute_dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
     optimizer: str = "AdamW"   # OPTIMIZERS registry name (e.g. "AdamW8bit")
+    # "lora" (both reference trainers' shipped regime) or "full" — full
+    # fine-tune of whole module subtrees (mova_train.py:1452-1514)
+    mode: str = "lora"
+    trainable_modules: tuple = ("video_dit", "video_dit_2", "audio_dit", "bridge")
+    # gradient accumulation: k micro-batches per optimizer step (counterpart
+    # of accelerator.accumulate / the low-resource manual loop)
+    grad_accum_steps: int = 1
+    # SD3 timestep-density sampling (mova_train.py TimestepConfig):
+    # "uniform" (the reference trainer's shipped setting) | "logit_normal" | "mode"
+    weighting_scheme: str = "uniform"
+    logit_mean: float = 0.0
+    logit_std: float = 1.0
+    mode_scale: float = 1.0
 
 
 class LoRATrainer:
     def __init__(self, cfg: MOVAConfig, params: Dict[str, Any],
-                 tcfg: TrainerConfig, is_main: bool = True):
+                 tcfg: TrainerConfig, is_main: bool = True, mesh=None):
+        """mesh: optional (data, fsdp, cp) Mesh — enables the multi-chip
+        regime: LoRA/optimizer state fsdp-sharded, batch sharded over `data`,
+        the block stack sequence-parallel over `cp` (parallel/sp.py) and
+        activation hints opened around the traced step. Single-chip (None)
+        is the low-resource regime."""
         self.cfg = cfg
         self.params = params
         self.tcfg = tcfg
+        self.mesh = mesh
         self.scheduler = FlowMatchPairScheduler(cfg.scheduler)
         self.scheduler.set_timesteps(cfg.scheduler.num_train_timesteps, training=True)
         self.tables = build_train_tables(self.scheduler, cfg.boundary_ratio)
 
+        if tcfg.mode not in ("lora", "full"):
+            raise ValueError(f"unknown trainer mode {tcfg.mode!r}")
         key = jax.random.PRNGKey(tcfg.seed)
         self.rng, k_lora = jax.random.split(key)
-        self.lora = lora_mod.init_pipeline_lora(k_lora, params, rank=tcfg.lora_rank)
+        if tcfg.mode == "full":
+            # trainable = whole module subtrees; the frozen remainder stays
+            # in self.params (encoders for encode_batch + anything untrained)
+            self.lora = {m: params[m] for m in tcfg.trainable_modules
+                         if m in params}
+            self.params = {k: v for k, v in params.items()
+                           if k not in self.lora}
+        else:
+            self.lora = lora_mod.init_pipeline_lora(k_lora, params,
+                                                    rank=tcfg.lora_rank)
+        if mesh is not None:
+            from dualforce_tpu.parallel.sharding import shard_params
+
+            self.lora = shard_params(self.lora, mesh)
 
         schedule = warmup_schedule(tcfg.lr, tcfg.warmup_steps, tcfg.max_steps,
                                    tcfg.lr_schedule)
@@ -98,10 +132,45 @@ class LoRATrainer:
         self.opt_state = self.optimizer.init(self.lora)
         self.global_step = 0
         self.logger = build_logger(tcfg.logger, tcfg.save_dir, is_main)
-        self._step_fn = make_lora_train_step(
-            cfg, self.tables, self.optimizer, lora_alpha=tcfg.lora_alpha,
-            video_fps=tcfg.video_fps, compute_dtype=tcfg.compute_dtype,
-            remat=tcfg.remat, attn_impl=tcfg.attn_impl)
+
+        from dualforce_tpu.diffusion.training import TimestepConfig
+        tconf = TimestepConfig(weighting_scheme=tcfg.weighting_scheme,
+                               logit_mean=tcfg.logit_mean,
+                               logit_std=tcfg.logit_std,
+                               mode_scale=tcfg.mode_scale)
+        sp_mesh = hints = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if mesh.shape.get("cp", 1) > 1:
+                sp_mesh = mesh
+            tok = NamedSharding(mesh, P("data", "cp", None))
+            hints = dict(video_tokens=tok, audio_tokens=tok)
+        step_kwargs = dict(lora_alpha=tcfg.lora_alpha,
+                           video_fps=tcfg.video_fps,
+                           compute_dtype=tcfg.compute_dtype, remat=tcfg.remat,
+                           attn_impl=tcfg.attn_impl, sp_mesh=sp_mesh,
+                           hints=hints, timestep_config=tconf)
+        if tcfg.mode == "full":
+            from dualforce_tpu.diffusion.training import make_full_ft_step
+
+            if tcfg.grad_accum_steps > 1:
+                raise NotImplementedError(
+                    "grad accumulation + full fine-tune: use a bigger batch "
+                    "with the data mesh axis instead")
+            step_kwargs.pop("lora_alpha")
+            self._step_fn = make_full_ft_step(
+                cfg, self.tables, self.optimizer, **step_kwargs)
+        elif tcfg.grad_accum_steps > 1:
+            from dualforce_tpu.diffusion.training import make_lora_accum_fns
+
+            self._grad_fn, self._accum_fn, self._apply_fn = make_lora_accum_fns(
+                cfg, self.tables, self.optimizer, tcfg.grad_accum_steps,
+                **step_kwargs)
+            self._step_fn = None
+        else:
+            self._step_fn = make_lora_train_step(
+                cfg, self.tables, self.optimizer, **step_kwargs)
 
         self._maybe_resume()
 
@@ -123,11 +192,22 @@ class LoRATrainer:
 
     def save(self):
         save_checkpoint(self.tcfg.save_dir, self.global_step, self._state())
-        lora_mod.save_lora(
-            jax.tree.map(np.asarray, self.lora),
-            f"{self.tcfg.save_dir}/step-{self.global_step}/lora_weights.npz"
-            .replace(".npz", ""),
-            alpha=self.tcfg.lora_alpha, rank=self.tcfg.lora_rank)
+        step_dir = f"{self.tcfg.save_dir}/step-{self.global_step}"
+        if self.tcfg.mode == "full":
+            # per-module HF-layout export (accelerate_trainer.py:473-513):
+            # trained weights load back through load_pipeline_params AND into
+            # the torch reference
+            from dualforce_tpu.config import MOVAConfig  # noqa: F401
+            from dualforce_tpu.convert.torch_export import \
+                export_trained_modules
+
+            export_trained_modules(
+                jax.tree.map(np.asarray, self.lora), self.cfg, step_dir)
+        else:
+            lora_mod.save_lora(
+                jax.tree.map(np.asarray, self.lora),
+                f"{step_dir}/lora_weights.npz".replace(".npz", ""),
+                alpha=self.tcfg.lora_alpha, rank=self.tcfg.lora_rank)
 
     def _rope_pack(self, encoded):
         from dualforce_tpu.diffusion.step import make_rope_pack
@@ -149,22 +229,52 @@ class LoRATrainer:
                                         self.tcfg.video_fps)
         return cache[key]
 
+    def _encode(self, batch):
+        if self.mesh is not None:
+            from dualforce_tpu.parallel.sharding import shard_batch
+
+            batch = shard_batch(batch, self.mesh)
+        return encode_batch(self.params, self.cfg, batch,
+                            compute_dtype=self.tcfg.compute_dtype)
+
     # --- training loop ------------------------------------------------------
     def train(self, data_iter: Iterable[Dict[str, Any]]):
         t0 = time.time()
+        accum = max(self.tcfg.grad_accum_steps, 1)
+        grad_acc = None
+        micro = 0
         for batch in data_iter:
             if self.global_step >= self.tcfg.max_steps:
                 break
+            # expert alternates per OPTIMIZER step; all micro-batches in an
+            # accumulation window share it (accelerate semantics — the
+            # reference's global_step advances once per accumulate window)
             expert = self.global_step % 2
-            if "video_dit_2" not in self.params:
+            if ("video_dit_2" not in self.params
+                    and "video_dit_2" not in self.lora):
                 expert = 0
-            encoded = encode_batch(self.params, self.cfg, batch,
-                                   compute_dtype=self.tcfg.compute_dtype)
+            encoded = self._encode(batch)
             rope_pack = self._rope_pack(encoded)
             self.rng, step_key = jax.random.split(self.rng)
-            self.lora, self.opt_state, metrics = self._step_fn(
-                self.lora, self.opt_state, self.params, encoded, step_key, expert,
-                rope_pack)
+
+            if accum > 1:
+                grads, metrics = self._grad_fn(
+                    self.lora, self.params, encoded, step_key, expert, rope_pack)
+                if grad_acc is None:
+                    grad_acc = jax.tree.map(
+                        lambda g: jnp.zeros_like(g), grads)
+                grad_acc = self._accum_fn(grad_acc, grads)
+                micro += 1
+                if micro < accum:
+                    continue
+                self.lora, self.opt_state, gnorm = self._apply_fn(
+                    self.lora, self.opt_state, grad_acc)
+                metrics = {**metrics, "grad_norm": gnorm}
+                grad_acc, micro = None, 0
+            else:
+                self.lora, self.opt_state, metrics = self._step_fn(
+                    self.lora, self.opt_state, self.params, encoded, step_key,
+                    expert, rope_pack)
             self.global_step += 1
 
             if self.global_step % self.tcfg.log_interval == 0:

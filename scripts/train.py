@@ -48,6 +48,10 @@ def main():
     args = ap.parse_args()
     cfg_dict = apply_overrides(load_config(args.config), args.overrides)
 
+    from dualforce_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed()  # multi-host: must precede any other jax use
+
     import jax
     import jax.numpy as jnp
 
@@ -83,7 +87,8 @@ def main():
                                num_workers=data_cfg.get("num_workers", 2))
 
     tcfg = TrainerConfig(**cfg_dict.get("trainer", {}))
-    trainer = LoRATrainer(cfg, params, tcfg)
+    trainer = LoRATrainer(cfg, params, tcfg,
+                          is_main=jax.process_index() == 0, mesh=mesh)
     ctx = mesh if mesh is not None else _null()
     with ctx:
         trainer.train(data_iter)

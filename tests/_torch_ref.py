@@ -147,9 +147,21 @@ def install_stubs() -> None:
     audiotools.ml = at_ml
 
 
+def _install_ftfy_stub():
+    if "ftfy" in sys.modules:
+        return
+    import importlib.machinery
+
+    ftfy = _mk("ftfy")
+    # a None __spec__ breaks transformers' importlib.util.find_spec probing
+    ftfy.__spec__ = importlib.machinery.ModuleSpec("ftfy", loader=None)
+    ftfy.fix_text = lambda t: t
+
+
 def load(module: str):
     """Import a reference module, e.g. load('mova.diffusion.models.wan_video_dit')."""
     install_stubs()
+    _install_ftfy_stub()
     if REF_PATH not in sys.path:
         sys.path.insert(0, REF_PATH)
     return importlib.import_module(module)

@@ -93,3 +93,172 @@ def test_trainer_loop_and_resume(tmp_path):
     # resume picks up the latest step
     tr2 = LoRATrainer(cfg, params, tcfg)
     assert tr2.global_step == 3
+
+
+def test_grad_accumulation_equivalence():
+    """k micro-steps of batch b == 1 step of batch k*b in fp32 (VERDICT r1
+    item 4): same rng (same timestep id), noise_override pinning per-item
+    noise, mean-loss grads averaged across micros."""
+    import optax
+
+    from dualforce_tpu.diffusion.training import make_lora_accum_fns
+
+    cfg = tiny_test_config()
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+    sched = FlowMatchPairScheduler(cfg.scheduler)
+    sched.set_timesteps(1000, training=True)
+    tables = build_train_tables(sched, cfg.boundary_ratio)
+    big = encode_batch(params, cfg, _batch(cfg, b=2), compute_dtype=jnp.float32)
+    lora = lora_mod.init_pipeline_lora(jax.random.PRNGKey(1), params, rank=4)
+    # non-zero B so grads flow through both factors
+    lora = jax.tree.map(
+        lambda x: x + 0.01 * jax.random.normal(jax.random.PRNGKey(2), x.shape,
+                                               x.dtype), lora)
+    rng = jax.random.PRNGKey(3)
+
+    kv = jax.random.normal(jax.random.PRNGKey(4), big["video_latents"].shape)
+    ka = jax.random.normal(jax.random.PRNGKey(5), big["audio_latents"].shape)
+
+    # one big-batch step
+    (_, _), g_big = jax.value_and_grad(training_loss, has_aux=True)(
+        lora, params, cfg, tables, big, rng, 0, compute_dtype=jnp.float32,
+        remat=False, noise_override=(kv, ka))
+
+    # two micro-steps, accumulated
+    optimizer = optax.sgd(1.0)
+    grad_fn, accum_fn, apply_fn = make_lora_accum_fns(
+        cfg, tables, optimizer, accum_steps=2, compute_dtype=jnp.float32,
+        remat=False)
+    acc = jax.tree.map(jnp.zeros_like, lora)
+    for i in range(2):
+        micro = {k: v[i:i + 1] for k, v in big.items()}
+        (_, _), g_micro = jax.value_and_grad(training_loss, has_aux=True)(
+            lora, params, cfg, tables, micro, rng, 0,
+            compute_dtype=jnp.float32, remat=False,
+            noise_override=(kv[i:i + 1], ka[i:i + 1]))
+        acc = accum_fn(acc, g_micro)
+
+    for a, b in zip(jax.tree.leaves(acc), jax.tree.leaves(g_big)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_timestep_density_matches_torch_oracle():
+    """sample_timestep_id's u-space densities match the reference's
+    compute_density_for_timestep_sampling (mova_train.py:89-120) — histogram
+    comparison for uniform and logit_normal within an expert boundary."""
+    import math
+    import re
+
+    import torch
+
+    from dualforce_tpu.diffusion.training import (TimestepConfig,
+                                                  sample_timestep_id)
+
+    # execute the reference's own function body as the oracle (importing the
+    # whole mova_train module drags in the full diffusers surface)
+    src = open("/root/reference/mova/diffusion/pipelines/mova_train.py").read()
+    m = re.search(r"def compute_density_for_timestep_sampling.*?\n    return u\n",
+                  src, re.S)
+    ns = {"torch": torch, "math": math}
+    exec(m.group(0), ns)
+    compute_density_for_timestep_sampling = ns["compute_density_for_timestep_sampling"]
+
+    cfg = tiny_test_config()
+    sched = FlowMatchPairScheduler(cfg.scheduler)
+    sched.set_timesteps(1000, training=True)
+    tables = build_train_tables(sched, cfg.boundary_ratio)
+    n = len(tables.timesteps_visual)
+    boundary = tables.boundary_id
+
+    # uniform: histogram vs the torch oracle's uniform branch
+    tc = TimestepConfig(weighting_scheme="uniform")
+    keys = jax.random.split(jax.random.PRNGKey(0), 4000)
+    ours = np.asarray(jax.vmap(
+        lambda k: sample_timestep_id(k, tables, 0, tc))(keys))
+    assert ours.min() >= 0 and ours.max() < boundary
+    torch.manual_seed(0)
+    u = compute_density_for_timestep_sampling(
+        weighting_scheme="uniform-else-branch", batch_size=4000,
+        logit_mean=0.0, logit_std=1.0, mode_scale=1.0,
+        min_timestep_boundary=0.0, max_timestep_boundary=boundary / n)
+    theirs = torch.clamp(torch.floor(u * n).long(), 0, boundary - 1).numpy()
+    bins = np.linspace(0, boundary, 11)
+    h_ours, _ = np.histogram(ours, bins=bins, density=True)
+    h_theirs, _ = np.histogram(theirs, bins=bins, density=True)
+    np.testing.assert_allclose(h_ours, h_theirs, rtol=0.2,
+                               atol=0.15 * h_theirs.max())
+
+    # logit_normal: the torch oracle's trunc_normal_ rejects the infinite
+    # logit(0) bound in this torch build, so verify our samples against the
+    # ANALYTIC truncated-logit-normal CDF instead (same formula the oracle
+    # implements via rejection sampling)
+    from scipy.stats import norm as scipy_norm
+
+    tc = TimestepConfig(weighting_scheme="logit_normal")
+    ours = np.asarray(jax.vmap(
+        lambda k: sample_timestep_id(k, tables, 0, tc))(keys))
+    assert ours.min() >= 0 and ours.max() < boundary
+    eps = 1e-7
+    logit = lambda p: np.log(np.clip(p, eps, 1 - eps) /
+                             (1 - np.clip(p, eps, 1 - eps)))
+    a, b_hi = logit(0.0), logit(boundary / n)
+    ca, cb = scipy_norm.cdf(a), scipy_norm.cdf(b_hi)
+
+    def cdf(t):  # P(id < t)
+        return (scipy_norm.cdf(logit(t / n)) - ca) / (cb - ca)
+
+    for t in np.linspace(boundary * 0.1, boundary * 0.9, 5):
+        emp = float((ours < t).mean())
+        assert abs(emp - cdf(t)) < 0.03, (t, emp, cdf(t))
+
+
+def test_full_finetune_export_and_reload(tmp_path):
+    """Full fine-tune mode (mova_train.py:1452-1514 counterpart): a tiny run
+    updates whole module subtrees, exports them per-module in the HF layout
+    (accelerate_trainer.py:473-513), and the export round-trips through the
+    torch_import converters bit-exactly."""
+    from safetensors import numpy as st_numpy
+
+    from dualforce_tpu.convert.torch_import import (convert_audio_dit,
+                                                    convert_bridge)
+
+    cfg = tiny_test_config()
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+    before = jax.tree.map(np.asarray, params["audio_dit"])
+    tcfg = TrainerConfig(mode="full", trainable_modules=("audio_dit", "bridge"),
+                         max_steps=2, save_interval=100, warmup_steps=1,
+                         save_dir=str(tmp_path / "ft"), logger="none",
+                         compute_dtype=jnp.float32, remat=False, lr=1e-2)
+    trainer = LoRATrainer(cfg, params, tcfg)
+
+    def data():
+        while True:
+            yield _batch(cfg)
+
+    trainer.train(data())
+    assert trainer.global_step == 2
+
+    step_dir = tmp_path / "ft" / "step-2"
+    assert (step_dir / "audio_dit" / "model.safetensors").exists()
+    assert (step_dir / "dual_tower_bridge" / "model.safetensors").exists()
+
+    # training actually changed the full weights (not just LoRA factors)
+    after = jax.tree.map(np.asarray, trainer.lora["audio_dit"])
+    deltas = [np.abs(a - b).max() for a, b in
+              zip(jax.tree.leaves(after), jax.tree.leaves(before))]
+    assert max(deltas) > 1e-5
+
+    # HF-layout export round-trips through the torch_import converter
+    sd = st_numpy.load_file(step_dir / "audio_dit" / "model.safetensors")
+    back = convert_audio_dit(sd, cfg.audio_dit)
+    for want, got in zip(jax.tree.leaves(after), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+    sdb = st_numpy.load_file(step_dir / "dual_tower_bridge" / "model.safetensors")
+    backb = convert_bridge(sdb, cfg.bridge)
+    for want, got in zip(jax.tree.leaves(jax.tree.map(np.asarray,
+                                                      trainer.lora["bridge"])),
+                         jax.tree.leaves(backb)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
