@@ -54,8 +54,10 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from dualforce_tpu.parallel.mesh import initialize_distributed
     from dualforce_tpu.utils.misc import setup_compile_cache
 
+    initialize_distributed()  # multi-host: must precede any other jax use
     setup_compile_cache(args.compile_cache)
     from PIL import Image
 
@@ -73,7 +75,15 @@ def main():
 
     cfg = config_from_checkpoint(args.base_model)
     params = load_pipeline_params(args.base_model, cfg)
-    lora, lcfg = load_lora(args.lora_path)
+    if args.lora_path.endswith(".pt") or os.path.exists(
+            os.path.join(args.lora_path, "lora_weights.pt")):
+        # reference-trained LoRA checkpoint (either trainer format) —
+        # convert on the fly (convert/lora_import.py)
+        from dualforce_tpu.convert.lora_import import load_reference_lora
+
+        lora, lcfg = load_reference_lora(args.lora_path, cfg)
+    else:
+        lora, lcfg = load_lora(args.lora_path)
     alpha = args.lora_alpha if args.lora_alpha is not None else lcfg["alpha"]
     params = merge_pipeline_lora(params, lora, alpha=alpha, scale=args.lora_scale)
     print(f"[info] merged LoRA (rank={lcfg['rank']}, alpha={alpha}, "

@@ -1,0 +1,113 @@
+"""Reference LoRA checkpoint interchange (convert/lora_import.py): both
+on-disk formats convert into the canonical stacked tree and merge to the
+exact torch LoRALinear semantics y = x@(W + alpha/r * B@A).T."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from dualforce_tpu.config import tiny_test_config  # noqa: E402
+from dualforce_tpu.convert.lora_import import (  # noqa: E402
+    convert_lora_state_dict,
+    load_reference_lora,
+)
+from dualforce_tpu.engine.lora import merge_pipeline_lora  # noqa: E402
+from dualforce_tpu.models.factory import init_pipeline_params  # noqa: E402
+
+RANK, ALPHA = 4, 8.0
+
+
+def _fake_accelerate_sd(cfg, rng):
+    """Accelerate-format keys ({module}.{path}.lora_A.weight, A [r, in])."""
+    sd = {}
+    vdim = cfg.video_dit.dim
+    adim = cfg.audio_dit.dim
+    for i in range(cfg.video_dit.num_layers):
+        A = rng.normal(size=(RANK, vdim)).astype(np.float32)
+        B = rng.normal(size=(vdim, RANK)).astype(np.float32)
+        sd[f"video_dit.blocks.{i}.self_attn.q.lora_A.weight"] = torch.tensor(A)
+        sd[f"video_dit.blocks.{i}.self_attn.q.lora_B.weight"] = torch.tensor(B)
+    # PEFT-style ".default." naming on another projection
+    A = rng.normal(size=(RANK, adim)).astype(np.float32)
+    B = rng.normal(size=(adim, RANK)).astype(np.float32)
+    sd["audio_dit.blocks.0.cross_attn.o.lora_A.default.weight"] = torch.tensor(A)
+    sd["audio_dit.blocks.0.cross_attn.o.lora_B.default.weight"] = torch.tensor(B)
+    # bridge conditioner (k: in=audio_dim for a2v)
+    A = rng.normal(size=(RANK, adim)).astype(np.float32)
+    B = rng.normal(size=(vdim, RANK)).astype(np.float32)
+    sd["dual_tower_bridge.audio_to_video_conditioners.0.inner.k.lora_A.weight"] = torch.tensor(A)
+    sd["dual_tower_bridge.audio_to_video_conditioners.0.inner.k.lora_B.weight"] = torch.tensor(B)
+    # a non-LoRA key must be ignored
+    sd["video_dit.blocks.0.self_attn.q.weight"] = torch.zeros(vdim, vdim)
+    return sd
+
+
+def test_accelerate_format_roundtrip(tmp_path):
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    sd = _fake_accelerate_sd(cfg, rng)
+    d = tmp_path / "lora_ckpt"
+    d.mkdir()
+    torch.save(sd, d / "lora_weights.pt")
+    torch.save({"rank": RANK, "alpha": ALPHA, "target_modules": []},
+               d / "lora_config.pt")
+
+    lora, meta = load_reference_lora(str(d), cfg)
+    assert meta["alpha"] == ALPHA and meta["rank"] == RANK
+    assert "blocks/self_attn/q/kernel" in lora["video_dit"]
+    assert "a2v/inner/k/kernel" in lora["bridge"]
+
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg, with_vaes=False,
+                                  with_text=False, two_video_towers=False)
+    merged = merge_pipeline_lora(params, lora, alpha=ALPHA)
+
+    # torch LoRALinear semantics: y = x @ (W + alpha/r * B@A).T
+    i = 1
+    A = sd[f"video_dit.blocks.{i}.self_attn.q.lora_A.weight"].numpy()
+    B = sd[f"video_dit.blocks.{i}.self_attn.q.lora_B.weight"].numpy()
+    base = np.asarray(params["video_dit"]["blocks"]["self_attn"]["q"]["kernel"][i])
+    want = base + (ALPHA / RANK) * (B @ A).T
+    got = np.asarray(merged["video_dit"]["blocks"]["self_attn"]["q"]["kernel"][i])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # untouched layers stay identical (zero factors)
+    got0 = np.asarray(merged["audio_dit"]["blocks"]["self_attn"]["q"]["kernel"])
+    np.testing.assert_array_equal(
+        got0, np.asarray(params["audio_dit"]["blocks"]["self_attn"]["q"]["kernel"]))
+    # bridge merge applied at stacked position 0
+    Ab = sd["dual_tower_bridge.audio_to_video_conditioners.0.inner.k.lora_A.weight"].numpy()
+    Bb = sd["dual_tower_bridge.audio_to_video_conditioners.0.inner.k.lora_B.weight"].numpy()
+    baseb = np.asarray(params["bridge"]["a2v"]["inner"]["k"]["kernel"][0])
+    wantb = baseb + (ALPHA / RANK) * (Bb @ Ab).T
+    gotb = np.asarray(merged["bridge"]["a2v"]["inner"]["k"]["kernel"][0])
+    np.testing.assert_allclose(gotb, wantb, rtol=1e-5, atol=1e-5)
+
+
+def test_low_resource_format_keys():
+    """Buffer-style keys (no .weight suffix) parse identically."""
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(1)
+    vdim = cfg.video_dit.dim
+    A = rng.normal(size=(RANK, vdim)).astype(np.float32)
+    B = rng.normal(size=(vdim, RANK)).astype(np.float32)
+    sd = {
+        "video_dit.blocks.0.self_attn.v.lora_A": A,
+        "video_dit.blocks.0.self_attn.v.lora_B": B,
+        "video_dit.blocks.0.self_attn.v.weight": np.zeros((vdim, vdim)),
+    }
+    lora, skipped = convert_lora_state_dict(sd, cfg)
+    assert "blocks/self_attn/v/kernel" in lora["video_dit"]
+    a = lora["video_dit"]["blocks/self_attn/v/kernel"]["a"]
+    b = lora["video_dit"]["blocks/self_attn/v/kernel"]["b"]
+    assert a.shape == (cfg.video_dit.num_layers, vdim, RANK)
+    np.testing.assert_allclose(a[0], A.T)
+    np.testing.assert_allclose(b[0], B.T)
+    assert sd_key_in(skipped["non_lora"], "self_attn.v.weight")
+
+
+def sd_key_in(lst, frag):
+    return any(frag in k for k in lst)
