@@ -1,9 +1,9 @@
 """Metric loggers (behavioural reference: mova/engine/utils/logger.py:172-201 —
 wandb | tensorboard | composite | dummy, non-main ranks get Dummy).
 
-This image has no wandb; available sinks: JSONL (always), TensorBoard via
-tf.summary (tensorflow is present). `build_logger` mirrors the reference
-factory semantics.
+Available sinks: JSONL (always), TensorBoard via tf.summary, and a wandb sink
+behind an import guard (wandb is absent in this image). `build_logger` mirrors
+the reference factory semantics.
 """
 
 from __future__ import annotations
@@ -59,6 +59,26 @@ class TensorBoardLogger(BaseLogger):
         self._writer.close()
 
 
+class WandbLogger(BaseLogger):
+    """W&B sink (reference logger.py:40-77). The image lacks wandb, so the
+    import is guarded; when wandb exists this mirrors the reference's
+    init(project, name, config)/log/finish lifecycle."""
+
+    def __init__(self, log_dir: str, project: str = "dualforce-tpu",
+                 run_name: Optional[str] = None, config: Optional[Dict] = None):
+        import wandb  # guarded: absent in this image
+
+        self._wandb = wandb
+        self._run = wandb.init(project=project, name=run_name, dir=log_dir,
+                               config=config or {}, resume="allow")
+
+    def log_scalars(self, metrics, step):
+        self._wandb.log({k: float(v) for k, v in metrics.items()}, step=step)
+
+    def close(self):
+        self._run.finish()
+
+
 class CompositeLogger(BaseLogger):
     def __init__(self, loggers: List[BaseLogger]):
         self.loggers = loggers
@@ -82,4 +102,10 @@ def build_logger(kind: Optional[str], log_dir: str, is_main: bool = True) -> Bas
         except Exception as e:  # noqa: BLE001
             print(f"[logger] tensorboard requested but unavailable ({e!r}); "
                   "continuing with JSONL only")
+    if kind in ("wandb", "both"):
+        try:
+            loggers.append(WandbLogger(log_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"[logger] wandb requested but unavailable ({e!r}); "
+                  "continuing without it")
     return CompositeLogger(loggers)

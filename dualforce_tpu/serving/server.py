@@ -90,12 +90,32 @@ class TaskStore:
         return list(self._tasks.values())
 
 
+def _accepts_progress(fn) -> bool:
+    """Signature-based (a try/except TypeError would silently swallow real
+    TypeErrors raised inside the backend)."""
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return False
+    return "progress" in sig.parameters or any(
+        p.kind is inspect.Parameter.VAR_KEYWORD
+        for p in sig.parameters.values())
+
+
+def _call_with_optional_progress(backend, task, out_dir, progress):
+    if _accepts_progress(backend):
+        return backend(task, out_dir, progress=progress)
+    return backend(task, out_dir)
+
+
 def make_pipeline_backend(pipe) -> Callable:
     """Wrap a MOVAPipeline into the backend callable used by the worker."""
     batch = make_pipeline_batch_backend(pipe)
 
-    def backend(task: Task, out_dir: str) -> Dict[str, Any]:
-        return batch([task], out_dir)[0]
+    def backend(task: Task, out_dir: str, progress=None) -> Dict[str, Any]:
+        return batch([task], out_dir, progress=progress)[0]
 
     return backend
 
@@ -109,7 +129,7 @@ def make_pipeline_batch_backend(pipe) -> Callable:
     from dualforce_tpu.utils.misc import hbm_stats
     from PIL import Image
 
-    def batch_backend(tasks, out_dir: str):
+    def batch_backend(tasks, out_dir: str, progress=None):
         p0 = tasks[0].params
         h, w = p0["height"], p0["width"]
         images = []
@@ -121,15 +141,15 @@ def make_pipeline_batch_backend(pipe) -> Callable:
                 raw = bytes.fromhex(t.params.get("image_hex", ""))
             img = Image.open(io.BytesIO(raw)).convert("RGB")
             images.append(image_to_tensor(crop_and_resize(img, h, w)))
-        results = pipe.generate(
-            prompts=[t.prompt for t in tasks], images=images,
-            negative_prompts=[t.params.get("negative_prompt", "") for t in tasks],
-            seeds=[t.params.get("seed", 42) for t in tasks],
-            height=h, width=w, num_frames=p0.get("num_frames", 193),
-            video_fps=p0.get("fps", 24.0),
-            num_inference_steps=p0.get("num_inference_steps", 50),
-            cfg_scale=p0.get("guidance_scale", 5.0),
-            cfg_scale_bridge=p0.get("guidance_scale_bridge", 0.0))
+        # REAL per-step progress: the jitted denoise loop fires
+        # jax.debug.callback each step (diffusion/sampler.py); route it to
+        # the task store for the whole same-geometry group
+        if progress is not None:
+            pipe.progress_cb = lambda i, n: progress(i / max(n, 1))
+        try:
+            results = _generate(pipe, tasks, images, h, w, p0)
+        finally:
+            pipe.progress_cb = None
         peak = hbm_stats().get("peak_bytes_in_use", 0) / 1e6
         out = []
         for t, r in zip(tasks, results):
@@ -138,6 +158,17 @@ def make_pipeline_batch_backend(pipe) -> Callable:
                 fps=r.fps, sample_rate=r.sample_rate)
             out.append({"file_path": path, "peak_memory_mb": peak})
         return out
+
+    def _generate(pipe, tasks, images, h, w, p0):
+        return pipe.generate(
+            prompts=[t.prompt for t in tasks], images=images,
+            negative_prompts=[t.params.get("negative_prompt", "") for t in tasks],
+            seeds=[t.params.get("seed", 42) for t in tasks],
+            height=h, width=w, num_frames=p0.get("num_frames", 193),
+            video_fps=p0.get("fps", 24.0),
+            num_inference_steps=p0.get("num_inference_steps", 50),
+            cfg_scale=p0.get("guidance_scale", 5.0),
+            cfg_scale_bridge=p0.get("guidance_scale_bridge", 0.0))
 
     return batch_backend
 
@@ -235,11 +266,24 @@ class VideoServer:
             for t in group:
                 self.store.update(t.task_id, status="running", progress=0.05)
             t0 = time.time()
+            def _progress(frac, _group=group):
+                # clamp below 1.0: "completed" flips it to exactly 1.0
+                frac = min(max(float(frac), 0.05), 0.99)
+                for gt in _group:
+                    self.store.update(gt.task_id, progress=frac)
+
             try:
                 if self.batch_backend is not None:
-                    results = self.batch_backend(group, self.out_dir)
+                    if _accepts_progress(self.batch_backend):
+                        results = self.batch_backend(group, self.out_dir,
+                                                     progress=_progress)
+                    else:
+                        results = self.batch_backend(group, self.out_dir)
                 else:
-                    results = [self.backend(t, self.out_dir) for t in group]
+                    results = [
+                        _call_with_optional_progress(self.backend, t,
+                                                     self.out_dir, _progress)
+                        for t in group]
                 if len(results) != len(group):
                     raise RuntimeError(
                         f"backend returned {len(results)} results for "

@@ -4,7 +4,11 @@ app served by aiohttp alongside the /v1/videos API).
 
 Modes mirrored: simple (prompt + reference image -> video) and full
 (text -> first-frame gen -> element extraction -> prompt rewrite -> video),
-with task polling and history cards.
+with task polling and history cards (live progress bars, inline result
+playback, timing/memory stats, error surfacing), and per-task artifact
+directories (out_dir/tasks/{id}/: input frame, idea, extracted elements,
+rewritten prompt — the reference's per-task output dirs, app.py:355-520)
+served at /workflow/tasks/{id}.
 """
 
 from __future__ import annotations
@@ -66,14 +70,29 @@ async function submitFull(){
     body:JSON.stringify({idea:document.getElementById('idea').value})});
   refresh();
 }
+function fmtTime(ts){ return ts ? new Date(ts*1000).toLocaleTimeString() : ''; }
 async function refresh(){
   const r = await fetch('/v1/videos'); const js = await r.json();
   const el = document.getElementById('tasks'); el.innerHTML='';
   js.data.sort((a,b)=>b.created_at-a.created_at).forEach(t=>{
     const d = document.createElement('div'); d.className='task';
-    let link = t.status==='completed'?`<a href="${t.download_url}">download</a>`:'';
+    const pct = Math.round(t.progress*100);
+    let extra = '';
+    if (t.status==='completed'){
+      extra = `<a href="${t.download_url}">download</a>
+        <div><video controls preload="none" width="320" src="${t.download_url}"></video></div>
+        <small>took ${t.inference_time_s ? t.inference_time_s.toFixed(1) : '?'}s` +
+        (t.peak_memory_mb ? `, peak HBM ${Math.round(t.peak_memory_mb)} MB` : '') +
+        `</small>`;
+    } else if (t.status==='failed'){
+      extra = `<pre style="color:#c92a2a;white-space:pre-wrap">${t.error||''}</pre>`;
+    } else {
+      extra = `<div style="background:#eee;border-radius:4px"><div style="background:#3b5bdb;height:6px;border-radius:4px;width:${pct}%"></div></div>`;
+    }
     d.innerHTML = `<b>${t.task_id}</b> <span class="status-${t.status}">${t.status}</span>
-      (${Math.round(t.progress*100)}%) — ${t.prompt.slice(0,80)} ${link}`;
+      ${pct}% <small>${fmtTime(t.created_at)}</small>
+      — ${t.prompt.slice(0,120)}
+      <a href="/workflow/tasks/${t.task_id}">artifacts</a><br>${extra}`;
     el.appendChild(d);
   });
 }
@@ -116,9 +135,18 @@ def attach_ui(server, wf_cfg: WorkflowConfig | None = None):
         task_id = uuid.uuid4().hex[:16]
         import os
 
-        image_path = os.path.join(server.out_dir, f"{task_id}.input.bin")
+        # per-task artifact dir (reference app.py's per-task output dirs):
+        # every intermediate of the full workflow is inspectable afterwards
+        task_dir = os.path.join(server.out_dir, "tasks", task_id)
+        os.makedirs(task_dir, exist_ok=True)
+        image_path = os.path.join(task_dir, "first_frame.png")
         with open(image_path, "wb") as f:
             f.write(image_bytes)
+        for name, content in (("idea.txt", idea),
+                              ("elements.txt", elements or ""),
+                              ("prompt.txt", full_prompt)):
+            with open(os.path.join(task_dir, name), "w") as f:
+                f.write(content)
         task = Task(task_id=task_id, prompt=full_prompt,
                     params={"negative_prompt": "", "height": h, "width": w,
                             "num_frames": int(body.get("num_frames", 193)),
@@ -132,7 +160,39 @@ def attach_ui(server, wf_cfg: WorkflowConfig | None = None):
         return web.json_response({"task_id": task.task_id,
                                   "rewritten_prompt": full_prompt})
 
+    async def task_artifacts(request):
+        import os
+
+        task_id = request.match_info["task_id"]
+        task_dir = os.path.join(server.out_dir, "tasks", task_id)
+        out = {"task_id": task_id, "artifacts": {}}
+        if os.path.isdir(task_dir):
+            for name in sorted(os.listdir(task_dir)):
+                path = os.path.join(task_dir, name)
+                if name.endswith(".txt"):
+                    with open(path) as f:
+                        out["artifacts"][name] = f.read()
+                else:
+                    out["artifacts"][name] = f"/workflow/tasks/{task_id}/{name}"
+        t = server.store.get(task_id)
+        if t is not None:
+            out["status"] = t.status
+            out["prompt"] = t.prompt
+        return web.json_response(out)
+
+    async def task_file(request):
+        import os
+
+        task_id = request.match_info["task_id"]
+        name = os.path.basename(request.match_info["name"])
+        path = os.path.join(server.out_dir, "tasks", task_id, name)
+        if not os.path.exists(path):
+            raise web.HTTPNotFound()
+        return web.FileResponse(path)
+
     server.app.add_routes([web.get("/", index),
                            web.get("/ui", index),
-                           web.post("/workflow/full", full_workflow)])
+                           web.post("/workflow/full", full_workflow),
+                           web.get("/workflow/tasks/{task_id}", task_artifacts),
+                           web.get("/workflow/tasks/{task_id}/{name}", task_file)])
     return server
