@@ -253,7 +253,9 @@ def main():
 
         @jax.jit
         def vdec(p, z):
-            return wan_vae.decode(p, fcfg.video_vae, z)
+            # the production decode path: streaming (one-shot decode's
+            # upsample intermediates exceed 16 GB HBM at 360p)
+            return wan_vae.decode_streaming(p, fcfg.video_vae, z)
 
         vout = vdec(vvae["video_vae"], z)
         float(jnp.sum(vout).astype(jnp.float32))

@@ -310,12 +310,20 @@ class MOVAPipeline:
         la = (int(acfg.sample_rate * num_frames / video_fps) - 1) // acfg.hop_length + 1
         b = batch_size
 
-        def st_(shape, dtype=jnp.float32):
-            return jax.ShapeDtypeStruct(shape, dtype)
-
         # ctx embeddings come out of encode_prompt in COMPUTE dtype — compiling
         # for any other dtype would make the warmed program unreachable
         ctx_dtype = jnp.dtype(self.compute_dtype)
+        rep = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())  # matches _denoise's pinning
+
+        def st_(shape, dtype=jnp.float32):
+            if rep is not None:
+                return jax.ShapeDtypeStruct(shape, dtype, sharding=rep)
+            return jax.ShapeDtypeStruct(shape, dtype)
+
         abstract = dict(
             latents=st_((b, self.cfg.video_vae.z_dim, F, lh, lw)),
             condition=st_((b, self.cfg.video_vae.z_dim + st, F, lh, lw)),
@@ -331,8 +339,16 @@ class MOVAPipeline:
                                    video_fps)
         rope_abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), rope_pack)
-        params_abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params)
+        def _abstract_param(x):
+            # carry the REAL (fsdp-sharded) layouts into the AOT compile —
+            # an executable compiled for replicated params would reject the
+            # sharded arrays at call time
+            sh = getattr(x, "sharding", None)
+            if sh is not None and getattr(x, "committed", False):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+        params_abstract = jax.tree.map(_abstract_param, self.params)
         run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch,
                                 cfg_cache_interval=cfg_cache_interval,
                                 cfg_scale_bridge=cfg_scale_bridge)
@@ -434,6 +450,20 @@ class MOVAPipeline:
             vcfg, self.cfg.audio_dit, self.cfg.bridge, grid,
             audio_latents.shape[2] // self.cfg.audio_dit.patch_size, video_fps)
 
+        if self.mesh is not None:
+            # pin the per-request data args to a canonical replicated layout:
+            # the encoders leave them GSPMD-sharded in whatever way the mesh
+            # suggested, which would miss the AOT-warmed executable's
+            # compiled-for shardings (they're small — condition ~14 MB at
+            # 360p — and the denoise program re-shards internally)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            latents, condition, audio_latents, ctx_pos = (
+                jax.device_put(x, rep)
+                for x in (latents, condition, audio_latents, ctx_pos))
+            if ctx_neg is not None:
+                ctx_neg = jax.device_put(ctx_neg, rep)
         if self.offload == "none":
             run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch,
                                     cfg_cache_interval=cfg_cache_interval,
@@ -521,8 +551,12 @@ class MOVAPipeline:
         vcfg = self.cfg.video_vae
         z = jnp.transpose(latents, (0, 2, 3, 4, 1))        # channels-last
         z = wan_vae.denormalize_latents(z, vcfg)
-        video = wan_vae.decode(params["video_vae"], vcfg,
-                               z.astype(self.compute_dtype))  # bf16 (reference parity)
+        # streaming decode (bit-identical to the full decode — tested): the
+        # one-shot decoder's upsample intermediates exceed a v5e's 16 GB HBM
+        # at real 360p (18.2 GB broadcast measured on-chip); the frame-scan
+        # keeps peak memory O(1 latent frame). bf16 = reference parity.
+        video = wan_vae.decode_streaming(params["video_vae"], vcfg,
+                                         z.astype(self.compute_dtype))
         video = np.asarray(video[0].astype(jnp.float32))   # [T, H, W, 3] in [-1, 1]
         video = ((np.clip(video, -1, 1) + 1) * 127.5).round().astype(np.uint8)
 

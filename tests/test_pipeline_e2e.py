@@ -245,3 +245,36 @@ def test_generate_on_cp_mesh_matches_single_device():
     assert np.max(np.abs(ref.video.astype(np.int16)
                          - got.video.astype(np.int16))) <= 1
     np.testing.assert_allclose(ref.audio, got.audio, atol=1e-4)
+
+
+def test_warmup_on_cp_mesh():
+    """AOT warmup must lower the SEQUENCE-PARALLEL denoise program (shard_map
+    over cp with abstract args) and generation must use the warmed
+    executable with outputs matching the single-device run."""
+    from dualforce_tpu.parallel.mesh import create_mesh
+    from dualforce_tpu.parallel.sharding import shard_params
+
+    cfg = tiny_test_config()
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+    image = np.random.default_rng(3).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    kw = dict(seed=5, height=32, width=32, num_frames=5,
+              num_inference_steps=2, cfg_scale=3.0)
+
+    ref = MOVAPipeline(cfg, params, tokenizer=FakeTokenizer(),
+                       compute_dtype=jax.numpy.float32, attn_impl="ref")(
+        "a bird", image, **kw)
+
+    mesh = create_mesh(1, 2, 4)
+    sharded = shard_params(params, mesh)
+    pipe = MOVAPipeline(cfg, sharded, tokenizer=FakeTokenizer(),
+                        compute_dtype=jax.numpy.float32, attn_impl="ref",
+                        mesh=mesh)
+    pipe.warmup(height=32, width=32, num_frames=5, num_inference_steps=2,
+                cfg_scale=3.0)
+    (dispatch,) = pipe._denoise_cache.values()
+    assert len(dispatch._warm) == 1
+    got = pipe("a bird", image, **kw)
+    assert dispatch._jit._cache_size() == 0  # served by the warmed executable
+    assert np.max(np.abs(ref.video.astype(np.int16)
+                         - got.video.astype(np.int16))) <= 1
+    np.testing.assert_allclose(ref.audio, got.audio, atol=1e-4)
