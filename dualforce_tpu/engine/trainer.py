@@ -69,6 +69,17 @@ class TrainerConfig:
     # gradient accumulation: k micro-batches per optimizer step (counterpart
     # of accelerator.accumulate / the low-resource manual loop)
     grad_accum_steps: int = 1
+    # "component" = host-staged frozen base weights (the low-resource
+    # trainer's FP8-CPU-offload niche, low_resource_trainer.py:228-251 /
+    # mova_train.py:190-827): base params live in host RAM (store them fp8
+    # by loading with --weight_dtype fp8), only the ACTIVE expert + audio +
+    # bridge are HBM-resident, encoders are staged per encode and freed.
+    # The two 14B experts never coexist on device.
+    offload: str = "none"
+    # with offload: re-stage the other 14B expert only every K optimizer
+    # steps instead of per step (amortizes the host->HBM transfer; K=1 is
+    # exact reference parity of the per-step alternation)
+    expert_switch_interval: int = 1
     # SD3 timestep-density sampling (mova_train.py TimestepConfig):
     # "uniform" (the reference trainer's shipped setting) | "logit_normal" | "mode"
     weighting_scheme: str = "uniform"
@@ -95,6 +106,20 @@ class LoRATrainer:
 
         if tcfg.mode not in ("lora", "full"):
             raise ValueError(f"unknown trainer mode {tcfg.mode!r}")
+        if tcfg.offload not in ("none", "component"):
+            raise ValueError(f"unknown trainer offload {tcfg.offload!r}")
+        if tcfg.offload == "component":
+            if mesh is not None:
+                raise ValueError("offload='component' is the single-chip "
+                                 "low-resource regime; use the fsdp mesh "
+                                 "axis to shard across chips instead")
+            if tcfg.mode == "full":
+                raise ValueError("offload='component' trains LoRA only "
+                                 "(full-FT params must be device-resident "
+                                 "for the optimizer)")
+            # base params live on host; modules are staged to HBM per phase
+            self.params = params = jax.tree.map(np.asarray, params)
+            self._device_cache: Dict[str, Any] = {}
         key = jax.random.PRNGKey(tcfg.seed)
         self.rng, k_lora = jax.random.split(key)
         if tcfg.mode == "full":
@@ -229,11 +254,37 @@ class LoRATrainer:
                                         self.tcfg.video_fps)
         return cache[key]
 
+    # --- component staging (offload mode) -----------------------------------
+    def _stage(self, *names):
+        out = {}
+        for n in names:
+            if self.params.get(n) is None:
+                continue
+            if n not in self._device_cache:
+                self._device_cache[n] = jax.device_put(self.params[n])
+            out[n] = self._device_cache[n]
+        return out
+
+    def _evict(self, *names):
+        for n in names:
+            tree = self._device_cache.pop(n, None)
+            if tree is not None:
+                for leaf in jax.tree.leaves(tree):
+                    if hasattr(leaf, "delete"):
+                        leaf.delete()
+
     def _encode(self, batch):
         if self.mesh is not None:
             from dualforce_tpu.parallel.sharding import shard_batch
 
             batch = shard_batch(batch, self.mesh)
+        if self.tcfg.offload == "component":
+            enc = self._stage("text_encoder", "video_vae", "audio_vae")
+            try:
+                return encode_batch({**self.params, **enc}, self.cfg, batch,
+                                    compute_dtype=self.tcfg.compute_dtype)
+            finally:
+                self._evict("text_encoder", "video_vae", "audio_vae")
         return encode_batch(self.params, self.cfg, batch,
                             compute_dtype=self.tcfg.compute_dtype)
 
@@ -248,18 +299,30 @@ class LoRATrainer:
                 break
             # expert alternates per OPTIMIZER step; all micro-batches in an
             # accumulation window share it (accelerate semantics — the
-            # reference's global_step advances once per accumulate window)
-            expert = self.global_step % 2
+            # reference's global_step advances once per accumulate window).
+            # In offload mode the alternation period is expert_switch_interval
+            # so the 14B host->HBM restage amortizes.
+            period = (max(self.tcfg.expert_switch_interval, 1)
+                      if self.tcfg.offload == "component" else 1)
+            expert = (self.global_step // period) % 2
             if ("video_dit_2" not in self.params
-                    and "video_dit_2" not in self.lora):
-                expert = 0
+                    and "video_dit_2" not in self.lora):  # full-FT keeps
+                expert = 0                                # towers in lora
             encoded = self._encode(batch)
             rope_pack = self._rope_pack(encoded)
             self.rng, step_key = jax.random.split(self.rng)
 
+            if self.tcfg.offload == "component":
+                tower = "video_dit" if expert == 0 else "video_dit_2"
+                other = "video_dit_2" if expert == 0 else "video_dit"
+                self._evict(other)  # the two experts never coexist on device
+                step_params = self._stage(tower, "audio_dit", "bridge")
+            else:
+                step_params = self.params
+
             if accum > 1:
                 grads, metrics = self._grad_fn(
-                    self.lora, self.params, encoded, step_key, expert, rope_pack)
+                    self.lora, step_params, encoded, step_key, expert, rope_pack)
                 if grad_acc is None:
                     grad_acc = jax.tree.map(
                         lambda g: jnp.zeros_like(g), grads)
@@ -273,7 +336,7 @@ class LoRATrainer:
                 grad_acc, micro = None, 0
             else:
                 self.lora, self.opt_state, metrics = self._step_fn(
-                    self.lora, self.opt_state, self.params, encoded, step_key,
+                    self.lora, self.opt_state, step_params, encoded, step_key,
                     expert, rope_pack)
             self.global_step += 1
 

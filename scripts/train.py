@@ -67,7 +67,12 @@ def main():
 
     ckpt = cfg_dict["pipeline"]["ckpt_path"]
     cfg = config_from_checkpoint(ckpt)
-    params = load_pipeline_params(ckpt, cfg)
+    wdtype = (jnp.float8_e4m3fn
+              if cfg_dict["pipeline"].get("weight_dtype") == "fp8" else None)
+    # offload='component' keeps base weights HOST-resident (staged per phase)
+    offload = cfg_dict.get("trainer", {}).get("offload", "none")
+    params = load_pipeline_params(ckpt, cfg, dtype=wdtype,
+                                  to_device=(offload == "none"))
     tokenizer = load_tokenizer(ckpt)
 
     mesh_cfg = cfg_dict.get("mesh", {})

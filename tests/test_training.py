@@ -262,3 +262,64 @@ def test_full_finetune_export_and_reload(tmp_path):
                          jax.tree.leaves(backb)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_component_offload_training_matches_resident(tmp_path):
+    """offload='component' (host-staged base weights, one expert on device
+    at a time — the low-resource trainer's niche) must produce the SAME
+    training trajectory as the device-resident trainer for the same seed."""
+    cfg = tiny_test_config()
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+
+    def run(offload, save_dir):
+        tcfg = TrainerConfig(max_steps=3, save_interval=100, warmup_steps=1,
+                             save_dir=save_dir, logger="none", lr=1e-3,
+                             compute_dtype=jnp.float32, remat=False,
+                             lora_rank=4, log_interval=1, offload=offload)
+        trainer = LoRATrainer(cfg, params, tcfg)
+        if offload == "component":
+            assert isinstance(jax.tree.leaves(trainer.params)[0], np.ndarray)
+
+        def data():
+            while True:
+                yield _batch(cfg)
+
+        trainer.train(data())
+        if offload == "component":
+            # only one video expert was device-resident at the end
+            assert not {"video_dit", "video_dit_2"} <= set(trainer._device_cache)
+        return jax.tree.map(np.asarray, trainer.lora)
+
+    l_res = run("none", str(tmp_path / "a"))
+    l_off = run("component", str(tmp_path / "b"))
+    for a, b in zip(jax.tree.leaves(l_res), jax.tree.leaves(l_off)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_component_offload_expert_switch_interval(tmp_path):
+    """expert_switch_interval amortizes the 14B restage: the active tower
+    alternates every K optimizer steps instead of every step."""
+    cfg = tiny_test_config()
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+    tcfg = TrainerConfig(max_steps=4, save_interval=100, warmup_steps=1,
+                         save_dir=str(tmp_path / "c"), logger="none",
+                         compute_dtype=jnp.float32, remat=False, lora_rank=4,
+                         offload="component", expert_switch_interval=2)
+    trainer = LoRATrainer(cfg, params, tcfg)
+    seen = []
+    orig = trainer._stage
+
+    def spy(*names):
+        if "video_dit" in names or "video_dit_2" in names:
+            seen.append([n for n in names if n.startswith("video")][0])
+        return orig(*names)
+
+    trainer._stage = spy
+
+    def data():
+        while True:
+            yield _batch(cfg)
+
+    trainer.train(data())
+    assert seen == ["video_dit", "video_dit", "video_dit_2", "video_dit_2"]
