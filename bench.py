@@ -236,6 +236,33 @@ def main():
         # trust the deeper (more HBM-faithful) measurement for the headline
         achieved = max(achieved, tput_deep)
 
+    # --- int8 serving mode: w8a8 projections (+ sage attention) ------------
+    # the opt-in lossy path (--quantize int8 --attn_type sage); measured
+    # against the same proxy to quantify the serving speedup and its error.
+    int8_pass_s = int8_speedup = int8_rel_err = None
+    if on_tpu and not small and not fast_mode:
+        from dualforce_tpu import nn as _nn
+
+        params_q = {k: _nn.quantize_tree_int8(v) for k, v in params.items()}
+        step_q = make_step("sage", cfg=cfg)
+        print("[bench] int8 serving-mode compile (w8a8 proj + sage attn)",
+              file=sys.stderr, flush=True)
+        out_q = step_q(params_q, visual, audio, ctx, t, rope_pack)
+        num = float(jnp.linalg.norm((out_q[0] - out[0]).astype(jnp.float32)))
+        den = float(jnp.linalg.norm(out[0].astype(jnp.float32))) + 1e-9
+        int8_rel_err = num / den
+        qtimes = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out_q = step_q(params_q, visual, audio, ctx, t, rope_pack)
+            float(jnp.sum(out_q[0]).astype(jnp.float32))
+            qtimes.append(time.perf_counter() - t0)
+        int8_pass_s = float(np.median(qtimes))
+        int8_speedup = pass_s / int8_pass_s
+        print(f"[bench] int8 serving pass: {int8_pass_s:.3f}s "
+              f"({int8_speedup:.2f}x vs headline, rel err {int8_rel_err:.1e})",
+              file=sys.stderr, flush=True)
+
     # --- measured VAE decode (the second hot spot) -------------------------
     vae_decode_s = dac_decode_s = None
     if on_tpu and not small and not fast_mode:
@@ -327,6 +354,12 @@ def main():
             "deep_proxy_layers": deep_layers,
             "extrapolation_rel_err": (round(extrap_rel_err, 4)
                                       if extrap_rel_err is not None else None),
+            "int8_serving_pass_s": (round(int8_pass_s, 4)
+                                    if int8_pass_s is not None else None),
+            "int8_serving_speedup": (round(int8_speedup, 3)
+                                     if int8_speedup is not None else None),
+            "int8_serving_rel_err": (round(int8_rel_err, 5)
+                                     if int8_rel_err is not None else None),
             "vae_decode_s": (round(vae_decode_s, 2)
                              if vae_decode_s is not None else None),
             "dac_decode_s": (round(dac_decode_s, 3)

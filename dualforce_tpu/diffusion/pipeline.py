@@ -72,13 +72,33 @@ class MOVAPipeline:
 
     def __init__(self, cfg: MOVAConfig, params: Dict[str, Any], tokenizer=None,
                  compute_dtype=jnp.bfloat16, attn_impl: str = "auto",
-                 offload: str = "none", mesh=None):
+                 offload: str = "none", mesh=None, quantize: str = "none"):
         """offload: "none" (weights HBM-resident, the TPU-native default) or
         "component" — the escape hatch for chips whose HBM can't hold the
         full pipeline (reference's enable_model_cpu_offload +
         remove_video_dit, inference_single.py:81-97): params stay on host,
         each module is staged to HBM for its phase and freed after, and the
-        two video experts are never device-resident simultaneously."""
+        two video experts are never device-resident simultaneously.
+
+        quantize: "none" or "int8" — int8 pre-quantizes the DiT/bridge
+        projection kernels (w8a8 on the MXU, per-out-channel weight scales +
+        dynamic per-token activation scales; nn.quantize_tree_int8). Lossy
+        and inference-only, like attn_impl="sage" — the two compose; VAEs,
+        text encoder, norms, modulation and heads stay full precision."""
+        if quantize not in ("none", "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        if quantize == "int8":
+            from dualforce_tpu import nn as _nn
+
+            towers = {k for k in ("video_dit", "video_dit_2", "audio_dit",
+                                  "bridge") if params.get(k) is not None}
+            params = {k: (_nn.quantize_tree_int8(v) if k in towers else v)
+                      for k, v in params.items()}
+            if offload == "component":
+                params = {k: (jax.tree.map(lambda x: np.asarray(jax.device_get(x)), v)
+                              if k in towers else v)
+                          for k, v in params.items()}
+        self.quantize = quantize
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer

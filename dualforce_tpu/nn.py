@@ -58,6 +58,73 @@ def _weight(p, key, like):
     return w
 
 
+def quantize_linear_int8(p):
+    """Pre-quantize a linear's kernel to int8 with per-output-channel
+    symmetric scales (serving mode; counterpart in spirit to the reference's
+    sageattention fallback, wan_video_dit.py:79-84 — lossy, opt-in, 2x MXU).
+
+    Works on single [in, out] kernels and scan-stacked [L, in, out] kernels
+    (the scale max runs over the `in` axis only, so per-layer scales are
+    preserved; stacked kernels are quantized one layer-slice at a time so
+    the f32 transient never exceeds one layer — a flagship stacked FFN
+    kernel is 5.7 GB in bf16 and would need ~3x that upcast whole).
+    Measured on v5e at the 43k-token projection shapes: 1.3-1.65x over bf16
+    including the dynamic activation quant."""
+    def one(w):
+        w = w.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0,
+                            1e-12)
+        return jnp.round(w / scale).astype(jnp.int8), scale
+
+    w = p["kernel"]
+    if w.ndim >= 3:
+        qs = [one(w[i]) for i in range(w.shape[0])]
+        q = jnp.stack([a for a, _ in qs])
+        scale = jnp.stack([s for _, s in qs])
+    else:
+        q, scale = one(w)
+    out = {"kernel_q": q, "kernel_scale": scale}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+QUANT_INT8_SCOPES = ("self_attn", "cross_attn", "ffn", "inner")
+
+
+def quantize_tree_int8(tree, scopes=QUANT_INT8_SCOPES):
+    """Quantize the per-token projection linears of a DiT/bridge param tree
+    to int8 (serving mode). Only linears under `scopes` (block attention
+    q/k/v/o and FFN kernels — ~97% of per-token matmul FLOPs) are touched;
+    modulation tables, norms, time/text embeddings, patchify and the output
+    head stay in their storage dtype (precision-sensitive, negligible FLOPs).
+    Handles scan-stacked [L, in, out] kernels."""
+    def walk(node, in_scope):
+        if isinstance(node, dict):
+            if in_scope and "kernel" in node and node["kernel"].ndim >= 2:
+                return quantize_linear_int8(node)
+            return {k: walk(v, in_scope or k in scopes) for k, v in node.items()}
+        return node
+
+    return walk(tree, False)
+
+
+def _linear_int8(p, x):
+    """w8a8 matmul: dynamic per-token activation absmax quant, int8xint8 ->
+    int32 on the MXU, dequant by (act_scale x per-channel weight scale)."""
+    a32 = x.astype(jnp.float32)
+    a_scale = jnp.max(jnp.abs(a32), axis=-1, keepdims=True) / 127.0
+    a_scale = jnp.maximum(a_scale, 1e-12)
+    ai = jnp.round(a32 / a_scale).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        ai, p["kernel_q"], (((ai.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = (acc.astype(jnp.float32) * a_scale * p["kernel_scale"]).astype(x.dtype)
+    if "bias" in p:
+        y = y + _weight(p, "bias", x)
+    return y
+
+
 def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32, bias: bool = True):
     """Matches torch.nn.Linear default init (kaiming-uniform kernel, uniform bias)."""
     kk, kb = jax.random.split(key)
@@ -69,6 +136,8 @@ def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32, bias: bool = 
 
 
 def linear(p, x: jnp.ndarray) -> jnp.ndarray:
+    if "kernel_q" in p:
+        return _linear_int8(p, x)
     y = x @ _weight(p, "kernel", x)
     if "bias" in p:
         y = y + _weight(p, "bias", x)

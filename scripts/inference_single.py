@@ -66,6 +66,11 @@ def parse_args():
                         "reuse it in between (serving accelerator; 1 = exact)")
     p.add_argument("--cfg_batch", action="store_true",
                    help="batch pos+neg CFG passes in one forward")
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="int8 pre-quantizes DiT/bridge projections (w8a8 on "
+                        "the MXU; lossy, inference-only, composes with "
+                        "--attn_type sage)")
     p.add_argument("--compile_cache", type=str,
                    default=os.path.expanduser("~/.cache/dualforce_jax"),
                    help="persistent XLA compilation cache dir ('' disables); "
@@ -155,7 +160,7 @@ def main():
               f"HBM in use: {hbm_in_use_gb():.1f} GB")
 
     pipe = MOVAPipeline(cfg, params, tokenizer=tokenizer, attn_impl=args.attn_type,
-                        offload=offload, mesh=mesh)
+                        offload=offload, mesh=mesh, quantize=args.quantize)
 
     image = Image.open(args.ref_path).convert("RGB")
     image = crop_and_resize(image, args.height, args.width)

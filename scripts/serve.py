@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--cp_size", type=int, default=1)
     ap.add_argument("--fsdp_size", type=int, default=1)
     ap.add_argument("--attn_type", type=str, default="auto")
+    ap.add_argument("--quantize", type=str, default="none",
+                    choices=["none", "int8"],
+                    help="int8 w8a8 projections (lossy serving accelerator)")
     ap.add_argument("--max_batch", type=int, default=1,
                     help="batch same-geometry requests through one denoise "
                          "program (continuous batching)")
@@ -62,7 +65,8 @@ def main():
         mesh = create_mesh(1, args.fsdp_size, args.cp_size)
         params = shard_params(params, mesh)
     pipe = MOVAPipeline(cfg, params, tokenizer=load_tokenizer(args.ckpt_path),
-                        attn_impl=args.attn_type, mesh=mesh)
+                        attn_impl=args.attn_type, mesh=mesh,
+                        quantize=args.quantize)
     if args.warmup:
         w, h, frames, steps = (int(x) for x in args.warmup.split("x"))
         # batching makes group sizes 1..max_batch possible; warm the common ones
