@@ -107,3 +107,33 @@ def test_pipeline_quantize_int8_e2e():
     # uint8 video: allow small quantization drift, require gross agreement
     diff = np.abs(q.video.astype(np.int32) - ref.video.astype(np.int32))
     assert float(diff.mean()) < 16.0, float(diff.mean())
+
+
+def test_pipeline_quantize_int8_on_cp_mesh():
+    """quantize='int8' under a cp x fsdp mesh (the SP shard_map production
+    path with int8 leaves: per-layer weight gathers move int8, scales ride
+    along) must reproduce the single-device quantized generation."""
+    from dualforce_tpu.config import tiny_test_config
+    from dualforce_tpu.diffusion.pipeline import MOVAPipeline
+    from dualforce_tpu.models.factory import init_pipeline_params
+    from dualforce_tpu.parallel.mesh import create_mesh
+    from dualforce_tpu.parallel.sharding import shard_params
+    from tests.test_pipeline_e2e import FakeTokenizer
+
+    cfg = tiny_test_config()
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+    image = np.random.default_rng(3).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    kw = dict(seed=5, height=32, width=32, num_frames=5,
+              num_inference_steps=2, cfg_scale=3.0)
+    common = dict(tokenizer=FakeTokenizer(), compute_dtype=jnp.float32,
+                  attn_impl="ref", quantize="int8")
+
+    ref = MOVAPipeline(cfg, params, **common)("a bird", image, **kw)
+
+    mesh = create_mesh(1, 2, 4)
+    sharded = shard_params(params, mesh)
+    got = MOVAPipeline(cfg, sharded, mesh=mesh, **common)("a bird", image, **kw)
+
+    assert np.max(np.abs(ref.video.astype(np.int16)
+                         - got.video.astype(np.int16))) <= 1
+    np.testing.assert_allclose(ref.audio, got.audio, atol=1e-4)
