@@ -168,6 +168,19 @@ def test_wan_vae_streaming_decode_matches_full():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_wan_vae_streaming_chunk_fallback():
+    """(F-1) % chunk != 0 falls back to per-frame stepping; any chunk value
+    that divides must match the full decode exactly."""
+    cfg = TINY_WAN
+    params = wan_vae.init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(8), (1, 7, 4, 4, cfg.z_dim))
+    full = wan_vae.decode(params, cfg, z)
+    for chunk in (2, 3, 4, 6):   # 6 % {4} != 0 -> fallback; {2,3,6} divide
+        stream = wan_vae.decode_streaming(params, cfg, z, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_wan_vae_streaming_single_frame():
     cfg = TINY_WAN
     params = wan_vae.init(jax.random.PRNGKey(0), cfg)
