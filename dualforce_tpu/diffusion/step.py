@@ -137,7 +137,7 @@ def dual_tower_step(
             a2v_condition_scale=a2v_condition_scale,
             v2a_condition_scale=v2a_condition_scale,
             attn_impl=attn_impl, remat=remat, ctx_valid_len=ctx_valid_len,
-            axis=sp_axis, data_axis=sp_data_axis,
+            axis=sp_axis, data_axis=sp_data_axis, video_grid=grid,
         )
     else:
         visual_x, audio_x = forward_dual_tower(

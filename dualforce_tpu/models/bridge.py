@@ -86,14 +86,80 @@ def _interp_linear_time(x, target_len: int):
                             method="linear")
 
 
+def _adaln_from_pooled(p, x, pooled, x_valid_len: Optional[int] = None):
+    """AdaLayerNorm of x by the (time-interpolated) pooled condition
+    (interactionv2.py:329-350; chunk_dim=2, norm eps 1e-5). When x carries a
+    padded tail (sequence-parallel gather), the interpolation targets only
+    the valid length — pad rows get scale=shift=0 (their values are masked
+    out of every downstream softmax and dropped at the end)."""
+    lx = x.shape[1] if x_valid_len is None else x_valid_len
+    pooled = _interp_linear_time(pooled, lx)
+    temb = nn.linear(p["adaln"]["linear"], nn.silu(pooled))
+    if lx < x.shape[1]:
+        temb = jnp.pad(temb, ((0, 0), (0, x.shape[1] - lx), (0, 0)))
+    scale, shift = jnp.split(temb, 2, axis=2)
+    return nn.layer_norm(x, 1e-5) * (1 + scale) + shift
+
+
 def pooled_adaln_condition(p, x, y, grid, num_heads: int, eps: float):
     """AdaLN of x by per-frame-pooled y, time-interpolated to x's length
     (interactionv2.py:329-350; AdaLayerNorm chunk_dim=2, norm eps 1e-5)."""
     pooled = per_frame_attention_pooling(p["pool"], y, grid, num_heads, eps)
-    pooled = _interp_linear_time(pooled, x.shape[1])
-    temb = nn.linear(p["adaln"]["linear"], nn.silu(pooled))
-    scale, shift = jnp.split(temb, 2, axis=2)
-    return nn.layer_norm(x, 1e-5) * (1 + scale) + shift
+    return _adaln_from_pooled(p, x, pooled)
+
+
+def per_frame_attention_pooling_sp(p, y_local, grid, num_heads: int, eps: float,
+                                   sp_axis: str,
+                                   video_valid: Optional[int] = None):
+    """Sequence-parallel per_frame_attention_pooling: y is a contiguous
+    cp-shard of the token sequence, so frames may straddle shard boundaries.
+    Exact per-frame softmax via an LSE combine over `sp_axis`: pmax of the
+    per-frame logit maxima, then psum of exp-sums and exp-weighted values
+    (segment ops bucket local tokens by global frame id; pad tokens go to a
+    trash segment). fp32 math matches the local version bit-for-bit up to
+    reduction order."""
+    from jax import lax
+
+    b, l_loc, d = y_local.shape
+    T, H, W = grid
+    S = H * W
+    hd = d // num_heads
+    wq, wk, wv = jnp.split(p["in_proj"]["kernel"], 3, axis=1)
+    bq, bk, bv = jnp.split(p["in_proj"]["bias"], 3)
+    probe = p["probe"].astype(y_local.dtype)
+    q = (probe @ wq + bq).reshape(num_heads, hd)
+    k = (y_local @ wk + bk).reshape(b, l_loc, num_heads, hd)
+    v = (y_local @ wv + bv).reshape(b, l_loc, num_heads, hd)
+
+    gpos = lax.axis_index(sp_axis) * l_loc + jnp.arange(l_loc)
+    total = T * S if video_valid is None else video_valid
+    valid = gpos < total
+    gid = jnp.where(valid, gpos // S, T)        # pad tokens -> trash segment T
+
+    logits = jnp.einsum("nd,blnd->bln", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * (hd ** -0.5)
+    neg = jnp.float32(-1e30)
+    logits = jnp.where(valid[None, :, None], logits, neg)
+    lt = jnp.moveaxis(logits, 1, 0)                              # [l, b, n]
+    # the max is a pure stability shift (softmax is invariant to it); pmax
+    # has no differentiation rule, and none is needed — stop_gradient on its
+    # INPUT so it never sees a tangent
+    m = lax.pmax(lax.stop_gradient(
+        jax.ops.segment_max(lt, gid, num_segments=T + 1,
+                            indices_are_sorted=True)), sp_axis)
+    m = jnp.maximum(m, neg)                      # empty trash segment -> finite
+    m_tok = jnp.moveaxis(m[gid], 0, 1)                           # [b, l, n]
+    e = jnp.where(valid[None, :, None], jnp.exp(logits - m_tok), 0.0)
+    den = jax.ops.segment_sum(jnp.moveaxis(e, 1, 0), gid, num_segments=T + 1,
+                              indices_are_sorted=True)           # [T+1, b, n]
+    num = jax.ops.segment_sum(
+        jnp.moveaxis(e[..., None] * v.astype(jnp.float32), 1, 0), gid,
+        num_segments=T + 1, indices_are_sorted=True)          # [T+1, b, n, hd]
+    den, num = lax.psum((den, num), sp_axis)
+    o = num[:T] / jnp.maximum(den[:T, ..., None], 1e-30)
+    o = jnp.moveaxis(o, 0, 1).reshape(b, T, d).astype(y_local.dtype)
+    pooled = nn.linear(p["out_proj"], o)
+    return nn.layer_norm(pooled, eps, p["ln"])
 
 
 def cond_block_apply(p, x, y, x_freqs, y_freqs, *, num_heads: int, eps: float,
@@ -164,17 +230,28 @@ def layer_apply(a2v_p, v2a_p, visual_x, audio_x, visual_freqs, audio_freqs,
 def cond_block_apply_dist(p, x, y_local, x_freqs, y_freqs_local, *,
                           num_heads: int, eps: float, sp_axis: str,
                           attn_impl: str = "auto",
-                          kv_global_valid: Optional[int] = None):
+                          kv_global_valid: Optional[int] = None,
+                          video_grid=None,
+                          x_valid_len: Optional[int] = None):
     """Sequence-parallel variant: Q side (`x`) replicated/full, K/V side
     (`y_local`) sequence-sharded over `sp_axis`. Exact softmax via
     LSE-weighted psum of per-rank partials — the bridge's v2a direction
     (403 audio queries vs cp-sharded 43k video tokens) costs one tiny
     all-reduce instead of gathering the video K/V (SURVEY.md §7.3.1).
 
-    kv_global_valid: static global K/V token count (padded tails masked)."""
+    kv_global_valid: static global K/V token count (padded tails masked).
+    x_valid_len: static valid length of the gathered Q side (pooled-AdaLN
+    interpolation target when x carries a cp pad tail)."""
     from dualforce_tpu.parallel.ring_attention import (
         inner_for_impl, lse_combine_cross_attention)
 
+    if "pool" in p:
+        if video_grid is None:
+            raise ValueError("pooled_adaln requires video_grid")
+        pooled = per_frame_attention_pooling_sp(
+            p["pool"], y_local, video_grid, num_heads, eps, sp_axis,
+            video_valid=kv_global_valid)
+        x = _adaln_from_pooled(p, x, pooled, x_valid_len=x_valid_len)
     b, sx, dim = x.shape
     sy = y_local.shape[1]
     d = dim // num_heads
@@ -197,7 +274,8 @@ def layer_apply_sp(a2v_p, v2a_p, visual_x, audio_x, visual_freqs_local,
                    audio_freqs_full, cfg: BridgeConfig, sp_axis: str,
                    a2v_scale=1.0, v2a_scale=1.0, attn_impl: str = "auto",
                    video_valid: Optional[int] = None,
-                   audio_valid: Optional[int] = None):
+                   audio_valid: Optional[int] = None,
+                   video_grid=None):
     """Bridge interaction under sequence parallelism.
 
     visual_x / audio_x are cp-sharded token chunks. a2v gathers the (tiny)
@@ -232,7 +310,9 @@ def layer_apply_sp(a2v_p, v2a_p, visual_x, audio_x, visual_freqs_local,
                                     audio_freqs_full, visual_freqs_local,
                                     num_heads=a_heads, eps=cfg.eps,
                                     sp_axis=sp_axis, attn_impl=attn_impl,
-                                    kv_global_valid=video_valid)
+                                    kv_global_valid=video_valid,
+                                    video_grid=video_grid,
+                                    x_valid_len=audio_valid)
     idx = lax.axis_index(sp_axis)
     da_local = lax.dynamic_slice_in_dim(da_full, idx * la_local, la_local, axis=1)
     return (visual_x + dv * jnp.asarray(a2v_scale, visual_x.dtype),

@@ -111,14 +111,15 @@ def forward_dual_tower(
             ab_p = layer_param_map("audio", ab_p)
         if do_interact:
             if sp_axis is not None:
-                if bcfg.pooled_adaln:
-                    raise NotImplementedError(
-                        "pooled_adaln under sequence parallelism: per-frame "
-                        "pooling needs frame-aligned shards (future work)")
+                if bcfg.pooled_adaln and video_grid is None:
+                    raise ValueError(
+                        "pooled_adaln under sequence parallelism requires "
+                        "video_grid (pass it through sp_forward_blocks)")
                 vx, ax = bridge_mod.layer_apply_sp(
                     a2v_p, v2a_p, vx, ax, vis_freqs, aud_freqs, bcfg, sp_axis,
                     a2v_scale, v2a_scale, attn_impl,
-                    video_valid=sp_video_valid, audio_valid=sp_audio_valid)
+                    video_valid=sp_video_valid, audio_valid=sp_audio_valid,
+                    video_grid=video_grid)
             else:
                 vx, ax = bridge_mod.layer_apply(
                     a2v_p, v2a_p, vx, ax, vis_freqs, aud_freqs, bcfg,

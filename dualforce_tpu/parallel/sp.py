@@ -84,6 +84,7 @@ def sp_forward_blocks(
     ctx_valid_len=None,
     axis: str = "cp",
     data_axis: Optional[str] = "data",
+    video_grid=None,
 ):
     """Run the interleaved block stack sequence-parallel over `axis`;
     returns FULL-shape (unpadded; cp-sharded under GSPMD) sequences.
@@ -165,7 +166,8 @@ def sp_forward_blocks(
                 v2a_condition_scale=v2a_condition_scale,
                 attn_impl=attn_impl, remat=remat, ctx_valid_len=ctx_valid_len,
                 sp_axis=axis, sp_video_valid=video_valid,
-                sp_audio_valid=audio_valid, layer_param_map=layer_param_map)
+                sp_audio_valid=audio_valid, video_grid=video_grid,
+                layer_param_map=layer_param_map)
 
     in_specs = [vb_specs, ab_specs, br_specs, seq, seq, batch_rep, batch_rep,
                 batch_rep, batch_rep, (rope_seq, rope_seq), (rope_seq, rope_seq)]

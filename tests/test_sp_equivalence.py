@@ -19,9 +19,13 @@ from dualforce_tpu.parallel.mesh import create_mesh
 from dualforce_tpu.parallel.sp import sp_forward_blocks
 
 
-def _setup(apply_cross_rope=True, grid=(4, 2, 2), la=8):
+def _setup(apply_cross_rope=True, grid=(4, 2, 2), la=8, pooled_adaln=False):
     cfg = tiny_test_config(visual_layers=3, audio_layers=2,
                            apply_cross_rope=apply_cross_rope)
+    if pooled_adaln:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, bridge=dataclasses.replace(cfg.bridge, pooled_adaln=True))
     params = init_pipeline_params(jax.random.PRNGKey(0), cfg, with_vaes=False,
                                   with_text=False, two_video_towers=False)
     vcfg, acfg, bcfg = cfg.video_dit, cfg.audio_dit, cfg.bridge
@@ -105,6 +109,68 @@ def test_sp_exact_with_padding(cp, grid, la):
                                rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
                                rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("cp,grid,la", [
+    (4, (3, 2, 2), 7),   # frames straddle shard boundaries; audio pad 1
+    (8, (3, 2, 2), 7),   # video pad 4 (one rank fully padded)
+])
+def test_sp_pooled_adaln_matches_single_device(cp, grid, la):
+    """pooled-AdaLN bridge conditioning under SP: per-frame probe pooling of
+    the cp-sharded video side must equal the single-device pooling exactly,
+    including frames that straddle shards and fully-padded ranks."""
+    (cfg, params, vcfg, acfg, bcfg, vx, ax, vctx, actx, vtm, atm,
+     v_rope, a_rope, cross) = _setup(True, grid=grid, la=la, pooled_adaln=True)
+    assert "pool" in params["bridge"]["v2a"]   # pooled params actually present
+
+    want_v, want_a = forward_dual_tower(
+        params["video_dit"]["blocks"], params["audio_dit"]["blocks"],
+        params["bridge"], vcfg, acfg, bcfg,
+        vx, ax, vctx, actx, vtm, atm, v_rope, a_rope, cross_rope=cross,
+        attn_impl="ref", video_grid=grid)
+
+    mesh = create_mesh(1, 1, cp)
+    got_v, got_a = sp_forward_blocks(
+        mesh, params["video_dit"]["blocks"], params["audio_dit"]["blocks"],
+        params["bridge"], vcfg, acfg, bcfg,
+        vx, ax, vctx, actx, vtm, atm, v_rope, a_rope, cross_rope=cross,
+        attn_impl="ref", video_grid=grid)
+
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_sp_pooled_adaln_grads_match():
+    """Grads flow through the segment-op pooling + psum combine identically
+    to the single-device pooled path."""
+    (cfg, params, vcfg, acfg, bcfg, vx, ax, vctx, actx, vtm, atm,
+     v_rope, a_rope, cross) = _setup(True, grid=(3, 2, 2), la=7,
+                                     pooled_adaln=True)
+    bp = params["bridge"]
+    mesh = create_mesh(1, 1, 4)
+
+    def loss_single(bp, vx, ax):
+        ov, oa = forward_dual_tower(
+            params["video_dit"]["blocks"], params["audio_dit"]["blocks"], bp,
+            vcfg, acfg, bcfg, vx, ax, vctx, actx, vtm, atm, v_rope, a_rope,
+            cross_rope=cross, attn_impl="ref", video_grid=(3, 2, 2))
+        return jnp.sum(ov ** 2) + jnp.sum(oa ** 2)
+
+    def loss_sp(bp, vx, ax):
+        ov, oa = sp_forward_blocks(
+            mesh, params["video_dit"]["blocks"], params["audio_dit"]["blocks"],
+            bp, vcfg, acfg, bcfg, vx, ax, vctx, actx, vtm, atm,
+            v_rope, a_rope, cross_rope=cross, attn_impl="ref",
+            video_grid=(3, 2, 2))
+        return jnp.sum(ov ** 2) + jnp.sum(oa ** 2)
+
+    g1 = jax.grad(loss_single, argnums=(0, 1, 2))(bp, vx, ax)
+    g2 = jax.grad(loss_sp, argnums=(0, 1, 2))(bp, vx, ax)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
 
 
 def test_sp_grads_match_with_padding():
