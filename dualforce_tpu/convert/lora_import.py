@@ -113,8 +113,9 @@ def convert_lora_state_dict(
     lora: Dict[str, Any] = {}
     for (mod, path), layers in collected.items():
         L = num_layers(mod, path)
-        sample = next(iter(layers.values()))
-        if "a" not in sample or "b" not in sample:
+        sample = next((ab for ab in layers.values()
+                       if "a" in ab and "b" in ab), None)
+        if sample is None:
             skipped["unmapped"].append(f"{mod}:{path} (missing a or b factor)")
             continue
         fan_in, r = sample["a"].shape
@@ -122,6 +123,10 @@ def convert_lora_state_dict(
         a = np.zeros((L, fan_in, r), np.float32)
         b = np.zeros((L, r, fan_out), np.float32)
         for layer, ab in layers.items():
+            if "a" not in ab or "b" not in ab:
+                skipped["unmapped"].append(
+                    f"{mod}:{path} layer {layer} (missing a or b factor)")
+                continue
             pos = (bridge_pos.get(layer) if path.startswith(("a2v/", "v2a/"))
                    else layer)
             if pos is None or pos >= L:
@@ -150,8 +155,17 @@ def load_reference_lora(path: str, cfg: MOVAConfig
         if os.path.exists(config_path):
             tcfg = torch.load(config_path, map_location="cpu",
                               weights_only=False)
-            meta["alpha"] = float(tcfg.get("alpha", 16.0))
-            meta["rank"] = int(tcfg.get("rank", 16))
+            # The reference's non-FSDP save_lora_weights (lora_utils.py:248)
+            # stores a module CLASS-NAME string under "rank"; rank is
+            # re-inferred from the factor shapes below, so tolerate junk here.
+            try:
+                meta["alpha"] = float(tcfg.get("alpha", 16.0))
+            except (TypeError, ValueError):
+                pass
+            try:
+                meta["rank"] = int(tcfg.get("rank", 16))
+            except (TypeError, ValueError):
+                pass
     sd = torch.load(weights_path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()

@@ -92,11 +92,20 @@ class MOVAPipeline:
 
             towers = {k for k in ("video_dit", "video_dit_2", "audio_dit",
                                   "bridge") if params.get(k) is not None}
-            params = {k: (_nn.quantize_tree_int8(v) if k in towers else v)
-                      for k, v in params.items()}
             if offload == "component":
-                params = {k: (jax.tree.map(lambda x: np.asarray(jax.device_get(x)), v)
-                              if k in towers else v)
+                # Quantize one tower at a time and pull it straight to host:
+                # quantizing everything first would hold every expert's int8
+                # kernels in HBM simultaneously — the exact peak component
+                # offload exists to avoid.
+                out = dict(params)
+                for k in towers:
+                    q = _nn.quantize_tree_int8(params[k])
+                    out[k] = jax.tree.map(
+                        lambda x: np.asarray(jax.device_get(x)), q)
+                    del q  # frees this tower's device buffers before the next
+                params = out
+            else:
+                params = {k: (_nn.quantize_tree_int8(v) if k in towers else v)
                           for k, v in params.items()}
         self.quantize = quantize
         self.cfg = cfg

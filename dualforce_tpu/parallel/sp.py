@@ -122,9 +122,26 @@ def sp_forward_blocks(
     from dualforce_tpu.parallel.sharding import param_pspecs
 
     is_spec = lambda x: x is None or isinstance(x, P)
-    vb_specs = param_pspecs(video_blocks, fsdp_size)
-    ab_specs = param_pspecs(audio_blocks, fsdp_size)
-    br_specs = param_pspecs(bridge_params, fsdp_size)
+
+    def _no_layer_shard(spec):
+        # Dim 0 of every stacked leaf here is the scan/LAYER dim. _leaf_spec
+        # can land fsdp there (2-D leaf whose last dim doesn't divide fsdp);
+        # as a shard_map in_spec that would make each rank scan a different
+        # layer subset (_gather_leaf only restores dims 1+) — silently wrong.
+        # Replicate such leaves instead (they are the small ones).
+        if spec is not None and len(spec) > 0 and tuple(spec)[0] == "fsdp":
+            return P()
+        return spec
+
+    vb_specs = jax.tree.map(_no_layer_shard,
+                            param_pspecs(video_blocks, fsdp_size),
+                            is_leaf=is_spec)
+    ab_specs = jax.tree.map(_no_layer_shard,
+                            param_pspecs(audio_blocks, fsdp_size),
+                            is_leaf=is_spec)
+    br_specs = jax.tree.map(_no_layer_shard,
+                            param_pspecs(bridge_params, fsdp_size),
+                            is_leaf=is_spec)
     spec_by_kind = {"video": vb_specs, "audio": ab_specs,
                     "a2v": br_specs.get("a2v"), "v2a": br_specs.get("v2a")}
 

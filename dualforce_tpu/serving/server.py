@@ -76,12 +76,13 @@ class TaskStore:
             self._tasks[task.task_id] = task
             self._persist()
 
-    def update(self, task_id: str, **kw):
+    def update(self, task_id: str, _persist: bool = True, **kw):
         with self._lock:
             t = self._tasks[task_id]
             for k, v in kw.items():
                 setattr(t, k, v)
-            self._persist()
+            if _persist:
+                self._persist()
 
     def get(self, task_id: str) -> Optional[Task]:
         return self._tasks.get(task_id)
@@ -270,7 +271,15 @@ class VideoServer:
                 # clamp below 1.0: "completed" flips it to exactly 1.0
                 frac = min(max(float(frac), 0.05), 0.99)
                 for gt in _group:
-                    self.store.update(gt.task_id, progress=frac)
+                    cur = self.store.get(gt.task_id)
+                    # jax.debug.callback delivery is unordered — never let
+                    # progress regress
+                    if cur is not None and cur.progress >= frac:
+                        continue
+                    # progress ticks need no durability: skip the tasks.json
+                    # rewrite (status changes still persist)
+                    self.store.update(gt.task_id, _persist=False,
+                                      progress=frac)
 
             try:
                 if self.batch_backend is not None:

@@ -160,10 +160,20 @@ def attach_ui(server, wf_cfg: WorkflowConfig | None = None):
         return web.json_response({"task_id": task.task_id,
                                   "rewritten_prompt": full_prompt})
 
+    def _safe_task_id(request) -> str:
+        import re
+
+        task_id = request.match_info["task_id"]
+        # task ids are uuid hex; anything else (e.g. "..") could walk out of
+        # the tasks/ directory when joined into a path
+        if not re.fullmatch(r"[A-Za-z0-9_-]+", task_id):
+            raise web.HTTPNotFound()
+        return task_id
+
     async def task_artifacts(request):
         import os
 
-        task_id = request.match_info["task_id"]
+        task_id = _safe_task_id(request)
         task_dir = os.path.join(server.out_dir, "tasks", task_id)
         out = {"task_id": task_id, "artifacts": {}}
         if os.path.isdir(task_dir):
@@ -183,7 +193,7 @@ def attach_ui(server, wf_cfg: WorkflowConfig | None = None):
     async def task_file(request):
         import os
 
-        task_id = request.match_info["task_id"]
+        task_id = _safe_task_id(request)
         name = os.path.basename(request.match_info["name"])
         path = os.path.join(server.out_dir, "tasks", task_id, name)
         if not os.path.exists(path):

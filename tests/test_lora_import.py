@@ -111,3 +111,40 @@ def test_low_resource_format_keys():
 
 def sd_key_in(lst, frag):
     return any(frag in k for k in lst)
+
+
+def test_class_name_rank_in_config(tmp_path):
+    """The reference's non-FSDP save_lora_weights (lora_utils.py:248) stores
+    a module CLASS-NAME string under config["rank"]; loading must not crash —
+    rank comes from the factor shapes."""
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(2)
+    sd = _fake_accelerate_sd(cfg, rng)
+    d = tmp_path / "lora_ckpt"
+    d.mkdir()
+    torch.save(sd, d / "lora_weights.pt")
+    torch.save({"rank": "WanModel", "alpha": ALPHA}, d / "lora_config.pt")
+
+    lora, meta = load_reference_lora(str(d), cfg)
+    assert meta["rank"] == RANK  # inferred from the factors
+    assert "blocks/self_attn/q/kernel" in lora["video_dit"]
+
+
+def test_partial_layer_missing_factor_is_skipped():
+    """A layer with only one factor (truncated save) is recorded under
+    skipped, not a KeyError — and other complete layers still convert."""
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(3)
+    vdim = cfg.video_dit.dim
+    sd = {}
+    A0 = rng.normal(size=(RANK, vdim)).astype(np.float32)
+    B0 = rng.normal(size=(vdim, RANK)).astype(np.float32)
+    sd["video_dit.blocks.0.self_attn.q.lora_A"] = A0
+    sd["video_dit.blocks.0.self_attn.q.lora_B"] = B0
+    # layer 1: lora_A only
+    sd["video_dit.blocks.1.self_attn.q.lora_A"] = A0
+    lora, skipped = convert_lora_state_dict(sd, cfg)
+    ab = lora["video_dit"]["blocks/self_attn/q/kernel"]
+    np.testing.assert_allclose(ab["a"][0], A0.T)
+    np.testing.assert_array_equal(ab["a"][1], 0)  # merge-neutral
+    assert sd_key_in(skipped["unmapped"], "layer 1")

@@ -83,6 +83,24 @@ def test_full_workflow_and_artifacts(ui_server):
         assert len(r.read()) > 100
 
 
+def test_task_id_traversal_rejected(ui_server):
+    """`..` (or any non-id path) must not escape the tasks/ directory — the
+    artifacts endpoint would otherwise list/serve arbitrary out_dir files."""
+    import urllib.error
+
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(ui_server)
+    for raw in ("/workflow/tasks/..", "/workflow/tasks/../tasks.json"):
+        # urllib normalizes "..", so speak raw HTTP
+        conn = http.client.HTTPConnection(u.hostname, u.port, timeout=10)
+        conn.request("GET", raw)
+        resp = conn.getresponse()
+        assert resp.status == 404, raw
+        conn.close()
+
+
 def test_ui_index_served(ui_server):
     with urllib.request.urlopen(ui_server + "/", timeout=10) as r:
         html = r.read().decode()
