@@ -323,7 +323,16 @@ def make_full_ft_step(cfg: MOVAConfig, tables: TrainTables, optimizer,
     """Full fine-tune step: differentiates whole module subtrees
     (training_loss's full_finetune_params path — the reference's arbitrary
     trainable sets, mova_train.py:1452-1514). `trainable` is
-    {module: params} merged over the frozen base each step."""
+    {module: params} merged over the frozen base each step.
+
+    When both video experts are trainable, each step exercises only one —
+    the other's grads are exactly zero. Torch optimizers skip grad-None
+    params (the reference trainer's behavior), so the inactive expert's
+    update is masked to zero (no AdamW weight-decay drift) and its Adam
+    moments are restored to their pre-step values. The one residual
+    deviation from torch is optax's single global Adam step count (torch
+    keeps per-param counts), which only slightly shifts bias correction
+    the first few times an expert reactivates."""
     from dualforce_tpu.parallel.hints import sharding_hints
 
     @partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
@@ -336,12 +345,73 @@ def make_full_ft_step(cfg: MOVAConfig, tables: TrainTables, optimizer,
                     remat=remat, attn_impl=attn_impl, rope_pack=rope_pack,
                     sp_mesh=sp_mesh, timestep_config=timestep_config,
                     _trainable_is_full=True)
-        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        updates, new_opt_state = optimizer.update(grads, opt_state, trainable)
         import optax
 
+        inactive = None
+        if "video_dit" in trainable and "video_dit_2" in trainable:
+            inactive = "video_dit_2" if expert == 0 else "video_dit"
+        if inactive is not None:
+            updates = {**updates, inactive: jax.tree.map(
+                jnp.zeros_like, updates[inactive])}
+
+            def _keep_old(new, old):
+                if isinstance(new, dict) and inactive in new:
+                    return {**new, inactive: old[inactive]}
+                return new
+
+            new_opt_state = jax.tree.map(
+                _keep_old, new_opt_state, opt_state,
+                is_leaf=lambda x: isinstance(x, dict) and inactive in x)
         trainable = optax.apply_updates(trainable, updates)
         metrics = {**metrics, "loss": loss,
                    "grad_norm": optax.global_norm(grads)}
-        return trainable, opt_state, metrics
+        return trainable, new_opt_state, metrics
 
     return step
+
+
+def make_full_ft_accum_fns(cfg: MOVAConfig, tables: TrainTables, optimizer,
+                           accum_steps: int, video_fps: float = 24.0,
+                           compute_dtype=jnp.bfloat16, remat: bool = True,
+                           attn_impl: str = "auto", sp_mesh=None,
+                           hints: Optional[Dict[str, Any]] = None,
+                           timestep_config: Optional[TimestepConfig] = None):
+    """Gradient accumulation for full fine-tune mode: (grad_fn, accum_fn,
+    apply_fn), mirroring make_lora_accum_fns but differentiating whole module
+    subtrees.
+
+    The reference's accumulate window drives training_step once per
+    micro-batch with global_step%2 expert alternation (accelerate_trainer.py
+    :393-431, mova_train.py:1392-1417), so BOTH video experts accumulate
+    grads within one window; torch then updates every param that received a
+    grad. Hence no inactive-expert masking here, unlike make_full_ft_step —
+    the trainer alternates `expert` per micro-call instead."""
+    import optax
+
+    from dualforce_tpu.parallel.hints import sharding_hints
+
+    @partial(jax.jit, static_argnums=(4,))
+    def grad_fn(trainable, frozen, encoded, rng, expert, rope_pack=None):
+        with sharding_hints(**(hints or {})):
+            (loss, metrics), grads = jax.value_and_grad(
+                training_loss, has_aux=True)(
+                    trainable, frozen, cfg, tables, encoded, rng, expert,
+                    video_fps=video_fps, compute_dtype=compute_dtype,
+                    remat=remat, attn_impl=attn_impl, rope_pack=rope_pack,
+                    sp_mesh=sp_mesh, timestep_config=timestep_config,
+                    _trainable_is_full=True)
+        return grads, {**metrics, "loss": loss}
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def accum_fn(acc, grads):
+        scale = 1.0 / accum_steps
+        return jax.tree.map(lambda a, g: a + g * scale, acc, grads)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def apply_fn(trainable, opt_state, grads):
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, optax.global_norm(grads)
+
+    return grad_fn, accum_fn, apply_fn

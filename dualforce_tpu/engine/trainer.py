@@ -177,15 +177,19 @@ class LoRATrainer:
                            attn_impl=tcfg.attn_impl, sp_mesh=sp_mesh,
                            hints=hints, timestep_config=tconf)
         if tcfg.mode == "full":
-            from dualforce_tpu.diffusion.training import make_full_ft_step
+            from dualforce_tpu.diffusion.training import (
+                make_full_ft_accum_fns, make_full_ft_step)
 
-            if tcfg.grad_accum_steps > 1:
-                raise NotImplementedError(
-                    "grad accumulation + full fine-tune: use a bigger batch "
-                    "with the data mesh axis instead")
             step_kwargs.pop("lora_alpha")
-            self._step_fn = make_full_ft_step(
-                cfg, self.tables, self.optimizer, **step_kwargs)
+            if tcfg.grad_accum_steps > 1:
+                self._grad_fn, self._accum_fn, self._apply_fn = \
+                    make_full_ft_accum_fns(cfg, self.tables, self.optimizer,
+                                           tcfg.grad_accum_steps,
+                                           **step_kwargs)
+                self._step_fn = None
+            else:
+                self._step_fn = make_full_ft_step(
+                    cfg, self.tables, self.optimizer, **step_kwargs)
         elif tcfg.grad_accum_steps > 1:
             from dualforce_tpu.diffusion.training import make_lora_accum_fns
 
@@ -297,14 +301,17 @@ class LoRATrainer:
         for batch in data_iter:
             if self.global_step >= self.tcfg.max_steps:
                 break
-            # expert alternates per OPTIMIZER step; all micro-batches in an
-            # accumulation window share it (accelerate semantics — the
-            # reference's global_step advances once per accumulate window).
+            # expert alternates per MICRO-batch, matching the reference whose
+            # global_step advances once per training_step call even inside an
+            # accumulate window (accelerate_trainer.py:393-431) — so with
+            # accumulation BOTH experts collect grads within one window.
             # In offload mode the alternation period is expert_switch_interval
-            # so the 14B host->HBM restage amortizes.
-            period = (max(self.tcfg.expert_switch_interval, 1)
-                      if self.tcfg.offload == "component" else 1)
-            expert = (self.global_step // period) % 2
+            # optimizer steps instead, so the 14B host->HBM restage amortizes.
+            if self.tcfg.offload == "component":
+                period = max(self.tcfg.expert_switch_interval, 1)
+                expert = (self.global_step // period) % 2
+            else:
+                expert = (self.global_step * accum + micro) % 2
             if ("video_dit_2" not in self.params
                     and "video_dit_2" not in self.lora):  # full-FT keeps
                 expert = 0                                # towers in lora

@@ -213,6 +213,82 @@ def test_timestep_density_matches_torch_oracle():
         assert abs(emp - cdf(t)) < 0.03, (t, emp, cdf(t))
 
 
+def test_full_ft_inactive_expert_untouched():
+    """Torch optimizers skip grad-None params (the reference trainer's
+    behavior): with BOTH video experts trainable, a step on expert 0 must
+    leave video_dit_2 bit-identical — AdamW weight decay must not drift the
+    idle 14B expert — and its Adam moments must stay frozen."""
+    import optax
+
+    from dualforce_tpu.diffusion.training import make_full_ft_step
+
+    cfg = tiny_test_config()
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+    sched = FlowMatchPairScheduler(cfg.scheduler)
+    sched.set_timesteps(1000, training=True)
+    tables = build_train_tables(sched, cfg.boundary_ratio)
+    encoded = encode_batch(params, cfg, _batch(cfg), compute_dtype=jnp.float32)
+
+    # fresh buffers: the step donates trainable/opt_state, and aliasing the
+    # frozen `params` leaves would defeat donation anyway
+    trainable = {k: jax.tree.map(jnp.array, params[k])
+                 for k in ("video_dit", "video_dit_2")}
+    optimizer = optax.adamw(1e-3, weight_decay=0.1)  # decay large on purpose
+    opt_state = optimizer.init(trainable)
+    # seed non-zero moments so frozen-moment checking is non-vacuous
+    warm_g = jax.tree.map(lambda x: jnp.full_like(x, 1e-3), trainable)
+    _, opt_state = optimizer.update(warm_g, opt_state, trainable)
+
+    step = make_full_ft_step(cfg, tables, optimizer, compute_dtype=jnp.float32,
+                             remat=False, attn_impl="ref")
+    active_before = jax.tree.map(np.asarray, trainable["video_dit"])
+    before = jax.tree.map(np.asarray, trainable["video_dit_2"])
+    mu_before = jax.tree.map(np.asarray, opt_state[0].mu["video_dit_2"])
+    new_trainable, new_opt_state, metrics = step(
+        trainable, opt_state, params, encoded, jax.random.PRNGKey(7), 0)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # active expert moved
+    deltas = [np.abs(np.asarray(a) - b).max() for a, b in
+              zip(jax.tree.leaves(new_trainable["video_dit"]),
+                  jax.tree.leaves(active_before))]
+    assert max(deltas) > 0
+    # inactive expert: params bit-identical, Adam moments frozen
+    for a, b in zip(jax.tree.leaves(new_trainable["video_dit_2"]),
+                    jax.tree.leaves(before)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    for a, b in zip(jax.tree.leaves(new_opt_state[0].mu["video_dit_2"]),
+                    jax.tree.leaves(mu_before)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_full_ft_accum_trains_both_experts(tmp_path):
+    """Full-FT + grad accumulation (previously NotImplementedError): with
+    accum=2 the expert alternates per MICRO-batch (reference semantics:
+    global_step advances per training_step call, accelerate_trainer.py:431),
+    so ONE optimizer window updates BOTH video experts."""
+    cfg = tiny_test_config()
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+    tcfg = TrainerConfig(mode="full",
+                         trainable_modules=("video_dit", "video_dit_2"),
+                         grad_accum_steps=2, max_steps=2, save_interval=100,
+                         warmup_steps=1, save_dir=str(tmp_path / "ft"),
+                         logger="none", compute_dtype=jnp.float32, remat=False,
+                         lr=1e-2, attn_impl="ref")
+    trainer = LoRATrainer(cfg, params, tcfg)
+    before = {k: jax.tree.map(np.asarray, trainer.lora[k])
+              for k in ("video_dit", "video_dit_2")}
+    # 2 windows x 2 micros (the first window's update is at warmup lr=0;
+    # the second proves both experts train within ONE window)
+    final = trainer.train(b for b in [_batch(cfg)] * 4)
+    assert final == 2  # 4 micro-batches -> 2 optimizer steps
+    for k in ("video_dit", "video_dit_2"):
+        deltas = [np.abs(np.asarray(a) - b).max() for a, b in
+                  zip(jax.tree.leaves(trainer.lora[k]),
+                      jax.tree.leaves(before[k]))]
+        assert max(deltas) > 0, f"{k} did not train in the accum window"
+
+
 def test_full_finetune_export_and_reload(tmp_path):
     """Full fine-tune mode (mova_train.py:1452-1514 counterpart): a tiny run
     updates whole module subtrees, exports them per-module in the HF layout
