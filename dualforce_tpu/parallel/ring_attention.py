@@ -154,7 +154,10 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # types match (shard_map vma typing)
     vma = getattr(jax.typeof(q), "vma", None) or frozenset()
     axes = tuple(set(vma) | {axis_name})
-    m0, s0, acc0 = jax.lax.pvary((m0, s0, acc0), axes)
+    if hasattr(jax.lax, "pcast"):  # pvary deprecated in favor of pcast
+        m0, s0, acc0 = jax.lax.pcast((m0, s0, acc0), axes, to="varying")
+    else:
+        m0, s0, acc0 = jax.lax.pvary((m0, s0, acc0), axes)
     _, _, _, s, acc = lax.fori_loop(0, n_dev, body, (k, v, m0, s0, acc0))
     out = acc / s.transpose(0, 2, 1)[..., None]
     return out.astype(q.dtype)
