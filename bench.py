@@ -52,6 +52,33 @@ def bridge_flops(Lv, La, dv, da, layers):
     return layers * per
 
 
+def _tpu_reachable(attempts: int = 3, probe_timeout: int = 240) -> bool:
+    """The axon tunnel can be down or HUNG (jax.devices() never returns), so
+    probe it in a killable subprocess before this process's jax touches the
+    backend. Retries give a transiently-down tunnel time to recover."""
+    import os
+    import subprocess
+    import time as _time
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.default_backend() == 'tpu'"],
+                timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[bench] TPU probe {i + 1}/{attempts} failed",
+              file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            _time.sleep(120)
+    return False
+
+
 def main():
     small = "--small" in sys.argv
     # --attn fast|sage: measurement override (headline stays "fast" — exact)
@@ -67,7 +94,13 @@ def main():
     attn = _opt("--attn", "fast", {"fast", "sage", "auto"})
     geom = _opt("--geom", "360p", {"360p", "720p"})
     fast_mode = "--fast" in sys.argv
+    tpu_ok = False if small else _tpu_reachable()
     import jax
+
+    if not tpu_ok:
+        # must happen BEFORE any backend touch; axon is already registered
+        # in this process (sitecustomize), so select cpu explicitly
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from dualforce_tpu.config import (
@@ -79,9 +112,12 @@ def main():
     from dualforce_tpu.diffusion.step import dual_tower_step, make_rope_pack
     from dualforce_tpu.models.factory import init_pipeline_params
 
-    on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu:
-        jax.config.update("jax_platforms", "cpu")
+    on_tpu = False
+    if tpu_ok:
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except RuntimeError:  # probe raced a tunnel outage
+            jax.config.update("jax_platforms", "cpu")
 
     # 360p geometry: latents [16, 49, 44, 80] -> (1,2,2) patch -> 49*22*40 tokens
     if small or not on_tpu:
