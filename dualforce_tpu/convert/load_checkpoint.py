@@ -21,7 +21,6 @@ from dualforce_tpu.config import (
     BridgeConfig,
     DACVAEConfig,
     MOVAConfig,
-    SchedulerConfig,
     UMT5Config,
     VideoDiTConfig,
     WanVAEConfig,

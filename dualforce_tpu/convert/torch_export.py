@@ -15,7 +15,6 @@ the base checkpoint, not re-exported.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict
 

@@ -15,7 +15,6 @@ bucket so recompiles only happen per bucket.
 from __future__ import annotations
 
 import contextlib
-import dataclasses
 import html
 import re
 from dataclasses import dataclass

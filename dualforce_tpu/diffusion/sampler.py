@@ -26,7 +26,6 @@ TPU-first differences:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -14,18 +14,16 @@ auto-resume.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from typing import Any, Dict, Iterable, Optional
+from dataclasses import dataclass
+from typing import Any, Dict, Iterable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from dualforce_tpu.config import MOVAConfig
 from dualforce_tpu.diffusion.flow_match import FlowMatchPairScheduler
 from dualforce_tpu.diffusion.training import (
-    TrainTables,
     build_train_tables,
     encode_batch,
     make_lora_train_step,

@@ -20,7 +20,7 @@ them in when a local model path is supplied.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

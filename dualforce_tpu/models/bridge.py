@@ -14,7 +14,7 @@ scan them together with the tower blocks.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ boundary.
 from __future__ import annotations
 
 import math
-from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ class, wan_audio_dit.py:15).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ torch [out, in, kt, kh, kw] -> [kt, kh, kw, in, out].
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

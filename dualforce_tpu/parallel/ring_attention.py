@@ -33,13 +33,12 @@ Pallas flash / XLA reference dispatch).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from dualforce_tpu.ops.attention import attention_ref
 
 
 def _inner_with_lse(q, k, v, kv_valid=None):

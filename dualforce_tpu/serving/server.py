@@ -15,7 +15,6 @@ backend is injectable — tests use a fake; production passes
 
 from __future__ import annotations
 
-import asyncio
 import io
 import json
 import os
@@ -27,7 +26,6 @@ from dataclasses import asdict, dataclass, field
 from queue import Queue
 from typing import Any, Callable, Dict, Optional
 
-import numpy as np
 from aiohttp import web
 
 

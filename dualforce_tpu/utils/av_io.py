@@ -19,7 +19,7 @@ import struct
 import subprocess
 import tempfile
 import wave
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -14,7 +14,6 @@ served at /workflow/tasks/{id}.
 from __future__ import annotations
 
 import base64
-import json
 
 from aiohttp import web
 
