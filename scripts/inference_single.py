@@ -89,10 +89,7 @@ def main():
 
     initialize_distributed()  # multi-host: must precede any other jax use
     setup_compile_cache(args.compile_cache)
-    import numpy as np
     from PIL import Image
-
-    import jax
 
     from dualforce_tpu.convert.load_checkpoint import (
         config_from_checkpoint,

@@ -9,7 +9,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dualforce_tpu.ops.attention import attention_ref
 from dualforce_tpu.ops.flash_attention import flash_attention, sage_attention
