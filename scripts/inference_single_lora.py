@@ -46,6 +46,20 @@ def parse_args():
     p.add_argument("--sigma_shift", type=float, default=5.0)
     p.add_argument("--cp_size", type=int, default=1)
     p.add_argument("--fsdp_size", type=int, default=1)
+    p.add_argument("--attn_type", type=str, default="auto",
+                   choices=["auto", "fast", "sage", "pallas", "ref"])
+    p.add_argument("--offload", type=str, default="none",
+                   choices=["none", "cpu", "group", "component"],
+                   help="component-wise host staging (cpu/group map to "
+                        "'component'); default keeps weights HBM-resident")
+    p.add_argument("--weight_dtype", type=str, default="bf16",
+                   choices=["bf16", "fp8"],
+                   help="fp8 stores matmul kernels as float8_e4m3 AFTER the "
+                        "LoRA merge (half the HBM; compute stays bf16)")
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="int8 pre-quantizes DiT/bridge projections after the "
+                        "merge (w8a8; lossy, composes with --attn_type sage)")
     p.add_argument("--compile_cache", type=str,
                    default=os.path.expanduser("~/.cache/dualforce_jax"),
                    help="persistent XLA compilation cache dir ('' disables)")
@@ -73,8 +87,11 @@ def main():
     from dualforce_tpu.parallel.sharding import shard_params
     from dualforce_tpu.utils.av_io import save_video_with_audio
 
+    offload = ("component" if args.offload in ("cpu", "group", "component")
+               else "none")
     cfg = config_from_checkpoint(args.base_model)
-    params = load_pipeline_params(args.base_model, cfg)
+    params = load_pipeline_params(args.base_model, cfg,
+                                  to_device=(offload == "none"))
     if args.lora_path.endswith(".pt") or os.path.exists(
             os.path.join(args.lora_path, "lora_weights.pt")):
         # reference-trained LoRA checkpoint (either trainer format) —
@@ -85,17 +102,53 @@ def main():
     else:
         lora, lcfg = load_lora(args.lora_path)
     alpha = args.lora_alpha if args.lora_alpha is not None else lcfg["alpha"]
-    params = merge_pipeline_lora(params, lora, alpha=alpha, scale=args.lora_scale)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dualforce_tpu import nn as dnn
+
+    fp8 = args.weight_dtype == "fp8"
+    towers = [k for k in ("video_dit", "video_dit_2", "audio_dit", "bridge")
+              if params.get(k) is not None]
+
+    def _fp8_cast(tree):
+        # cast AFTER the merge so the LoRA delta lands at full precision
+        return dnn.cast_tree_fp8(tree, jnp.float8_e4m3fn) if fp8 else tree
+
+    if offload == "none":
+        params = merge_pipeline_lora(params, lora, alpha=alpha,
+                                     scale=args.lora_scale)
+        for k in towers:
+            params[k] = _fp8_cast(params[k])
+    else:
+        # merge (and cast) on the HOST cpu backend: a flagship tower at bf16
+        # exceeds the 16 GB HBM outright, so the merge math must never touch
+        # the chip — params stay host-resident for component staging
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            for k in towers:
+                tree = params[k]
+                if lora.get(k):
+                    tree = merge_pipeline_lora({k: tree}, {k: lora[k]},
+                                               alpha=alpha,
+                                               scale=args.lora_scale)[k]
+                tree = _fp8_cast(tree)
+                params[k] = jax.tree.map(
+                    lambda x: np.asarray(jax.device_get(x)), tree)
     print(f"[info] merged LoRA (rank={lcfg['rank']}, alpha={alpha}, "
-          f"scale={args.lora_scale})")
+          f"scale={args.lora_scale}, weight_dtype={args.weight_dtype})")
 
     mesh = None
     if args.cp_size * args.fsdp_size > 1:
+        if offload != "none":
+            raise SystemExit("--offload is for single-chip runs; use "
+                             "--fsdp_size to shard weights across chips instead")
         mesh = create_mesh(1, args.fsdp_size, args.cp_size)
         params = shard_params(params, mesh)
 
     pipe = MOVAPipeline(cfg, params, tokenizer=load_tokenizer(args.base_model),
-                        mesh=mesh)
+                        mesh=mesh, attn_impl=args.attn_type, offload=offload,
+                        quantize=args.quantize)
     image = crop_and_resize(Image.open(args.ref_path).convert("RGB"),
                             args.height, args.width)
     result = pipe(
