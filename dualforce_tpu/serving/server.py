@@ -109,9 +109,10 @@ def _call_with_optional_progress(backend, task, out_dir, progress):
     return backend(task, out_dir)
 
 
-def make_pipeline_backend(pipe) -> Callable:
+def make_pipeline_backend(pipe, gen_overrides: Optional[Dict[str, Any]] = None
+                          ) -> Callable:
     """Wrap a MOVAPipeline into the backend callable used by the worker."""
-    batch = make_pipeline_batch_backend(pipe)
+    batch = make_pipeline_batch_backend(pipe, gen_overrides)
 
     def backend(task: Task, out_dir: str, progress=None) -> Dict[str, Any]:
         return batch([task], out_dir, progress=progress)[0]
@@ -119,10 +120,16 @@ def make_pipeline_backend(pipe) -> Callable:
     return backend
 
 
-def make_pipeline_batch_backend(pipe) -> Callable:
+def make_pipeline_batch_backend(pipe,
+                                gen_overrides: Optional[Dict[str, Any]] = None
+                                ) -> Callable:
     """Batched backend: same-geometry tasks run through ONE jitted denoise
     program (MOVAPipeline.generate) — the continuous-batching unit for the
-    static-shape sampler (SURVEY.md §7.2 phase 8)."""
+    static-shape sampler (SURVEY.md §7.2 phase 8).
+
+    gen_overrides: server-level kwargs splatted into every generate() call
+    (e.g. cfg_cache_interval / cfg_batch — serving accelerators that are
+    deploy-time policy, not request fields)."""
     from dualforce_tpu.data.transforms import crop_and_resize, image_to_tensor
     from dualforce_tpu.utils.av_io import save_video_with_audio
     from dualforce_tpu.utils.misc import hbm_stats
@@ -167,7 +174,8 @@ def make_pipeline_batch_backend(pipe) -> Callable:
             video_fps=p0.get("fps", 24.0),
             num_inference_steps=p0.get("num_inference_steps", 50),
             cfg_scale=p0.get("guidance_scale", 5.0),
-            cfg_scale_bridge=p0.get("guidance_scale_bridge", 0.0))
+            cfg_scale_bridge=p0.get("guidance_scale_bridge", 0.0),
+            **(gen_overrides or {}))
 
     return batch_backend
 

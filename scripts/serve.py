@@ -26,6 +26,19 @@ def main():
     ap.add_argument("--quantize", type=str, default="none",
                     choices=["none", "int8"],
                     help="int8 w8a8 projections (lossy serving accelerator)")
+    ap.add_argument("--weight_dtype", type=str, default="bf16",
+                    choices=["bf16", "fp8"],
+                    help="fp8 stores matmul kernels as float8_e4m3 — both "
+                         "14B experts fit one 16 GB chip's HBM (bf16 needs "
+                         "--fsdp_size or --offload)")
+    ap.add_argument("--offload", type=str, default="none",
+                    choices=["none", "component"],
+                    help="host-resident params, modules staged to HBM per "
+                         "phase (single-chip escape hatch)")
+    ap.add_argument("--cfg_cache_interval", type=int, default=1,
+                    help="recompute the CFG negative pass every N steps and "
+                         "reuse it in between (measured 1.43x loop speedup "
+                         "at N=3; 1 = exact)")
     ap.add_argument("--max_batch", type=int, default=1,
                     help="batch same-geometry requests through one denoise "
                          "program (continuous batching)")
@@ -58,15 +71,22 @@ def main():
                                               make_pipeline_batch_backend)
     from dualforce_tpu.workflow.app import attach_ui
 
+    import jax.numpy as jnp
+
     cfg = config_from_checkpoint(args.ckpt_path)
-    params = load_pipeline_params(args.ckpt_path, cfg)
+    wdtype = jnp.float8_e4m3fn if args.weight_dtype == "fp8" else jnp.bfloat16
+    params = load_pipeline_params(args.ckpt_path, cfg, dtype=wdtype,
+                                  to_device=(args.offload == "none"))
     mesh = None
     if args.cp_size * args.fsdp_size > 1:
+        if args.offload != "none":
+            raise SystemExit("--offload is for single-chip serving; use "
+                             "--fsdp_size to shard weights across chips")
         mesh = create_mesh(1, args.fsdp_size, args.cp_size)
         params = shard_params(params, mesh)
     pipe = MOVAPipeline(cfg, params, tokenizer=load_tokenizer(args.ckpt_path),
                         attn_impl=args.attn_type, mesh=mesh,
-                        quantize=args.quantize)
+                        quantize=args.quantize, offload=args.offload)
     if args.warmup:
         w, h, frames, steps = (int(x) for x in args.warmup.split("x"))
         # batching makes group sizes 1..max_batch possible; warm the common ones
@@ -76,9 +96,11 @@ def main():
                         num_inference_steps=steps, batch_size=b)
         print("[serve] warmup compile done")
 
+    overrides = ({"cfg_cache_interval": args.cfg_cache_interval}
+                 if args.cfg_cache_interval != 1 else None)
     server = VideoServer(
-        make_pipeline_backend(pipe), out_dir=args.out_dir,
-        batch_backend=(make_pipeline_batch_backend(pipe)
+        make_pipeline_backend(pipe, overrides), out_dir=args.out_dir,
+        batch_backend=(make_pipeline_batch_backend(pipe, overrides)
                        if args.max_batch > 1 else None),
         max_batch=args.max_batch)
     attach_ui(server)
