@@ -484,3 +484,120 @@ def decode_streaming(params, cfg: WanVAEConfig, z, chunk: int | None = None):
     # outs: [(F-1)/k, B, k*st, H, W, 3] -> [B, (F-1)*st, H, W, 3]
     rest = jnp.moveaxis(outs, 1, 0).reshape(b, -1, *outs.shape[3:])
     return jnp.concatenate([first_out, rest], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# streaming (chunked) ENCODE — lax.scan over input-frame chunks
+# ---------------------------------------------------------------------------
+#
+# The reference encodes with the SAME feature cache it decodes with
+# (AutoencoderKLWan chunks the input over time: first chunk 1 frame, then
+# 4-frame chunks, each later chunk yielding one latent frame; consumed at
+# pipeline_mova.py:236-240). Without this, the full-sequence encoder's first
+# conv materializes ~68 GB of bf16 activations at 720p/193f — it cannot run
+# in a 16 GB chip. Streaming output is bit-identical to `encode_moments` by
+# the same cache-recursion argument as `decode_streaming`.
+#
+# Per-op streaming semantics (derived from the closed forms above):
+#   - causal time convs: carried (kt-1)-frame input-history cache, zeros on
+#     the first chunk (== the causal zero pad);
+#   - temporal downsample (stride-2 VALID k=3 time conv): out[0] is a
+#     passthrough of frame 0; out[j] = w . x[2j-2 : 2j+1]. A chunk with an
+#     EVEN frame count n at this stage's input needs exactly ONE history
+#     frame: conv([cache(1), chunk(n)]) stride-2 VALID emits n/2 outputs
+#     whose last window ends on the chunk's last frame -> new cache is that
+#     frame. First chunk: passthrough, cache = frame 0.
+# Hence the raw-frame chunk must be a multiple of 2^(#temporal downsamples)
+# so every downsample stage sees an even chunk.
+
+
+def _downsample_temporal_stream(p, x, ctx: "_CacheCtx", is_first: bool):
+    """Streaming counterpart of downsample_temporal (1-frame history cache)."""
+    cache = ctx.next(x, 1)
+    if is_first:
+        del cache  # frame 0 bypasses the conv; prime the cache with it
+        ctx.push(x[:, -1:])
+        return x
+    xin = jnp.concatenate([cache, x], axis=1)
+    ctx.push(xin[:, -1:])
+    return _conv3d(xin, p["time_conv"]["kernel"], p["time_conv"]["bias"],
+                   (2, 1, 1))
+
+
+def _encoder_stream_chunk(p, cfg: WanVAEConfig, x_chunk, caches, is_first: bool):
+    """One raw-frame chunk through the encoder with cache threading.
+    Returns (moments_chunk [B,f,h,w,2z] pre-quant_conv, new_caches)."""
+    ctx = _CacheCtx(caches)
+    h = _cc3d_stream(p["conv1"], x_chunk, ctx)
+    for i, stage in enumerate(p["stages"]):
+        for bp in stage["blocks"]:
+            h = _residual_block_stream(bp, h, ctx)
+        if "down" in stage:
+            h = downsample_spatial(stage["down"], h)
+            if cfg.temperal_downsample[i]:
+                h = _downsample_temporal_stream(stage["down"], h, ctx, is_first)
+    h = _residual_block_stream(p["mid"]["rb1"], h, ctx)
+    h = attention_block(p["mid"]["attn"], h)
+    h = _residual_block_stream(p["mid"]["rb2"], h, ctx)
+    h = jax.nn.silu(rms_norm_ch(p["head_norm"], h))
+    h = _cc3d_stream(p["head_conv"], h, ctx)
+    return h, ctx.written
+
+
+def encode_moments_streaming(params, cfg: WanVAEConfig, video,
+                             chunk: int | None = None):
+    """Memory-bounded encode: video [B,T,H,W,3] -> (mean, logvar), identical
+    to `encode_moments` but with peak activation memory O(`chunk` raw frames).
+
+    `chunk` counts RAW input frames per scan step and must be a multiple of
+    2^(#temporal downsamples) (4 for the shipped config) so each temporal
+    downsample stage sees an even chunk; non-divisible (T-1) % chunk falls
+    back to that minimum. chunk=None scales a 16-frames-at-360p activation
+    budget by the input pixel count (=> 4 at 720p)."""
+    T = video.shape[1]
+    st = 2 ** sum(bool(t) for t in cfg.temperal_downsample)
+    if (T - 1) % st:
+        raise ValueError(f"num_frames-1 must be divisible by {st}, got T={T}")
+    if chunk is None:
+        px = video.shape[2] * video.shape[3]
+        budget = max(st, (16 * 352 * 640) // max(px, 1) // st * st)
+        budget = min(budget, max(T - 1, st))
+        # largest multiple of st within budget that divides T-1 (st always does)
+        chunk = next(k for k in range(budget, 0, -st) if (T - 1) % k == 0)
+    enc = params["encoder"]
+    first_out, caches = _encoder_stream_chunk(enc, cfg, video[:, :1], None, True)
+    if T == 1:
+        moments = first_out
+    else:
+        if chunk % st or (T - 1) % chunk:
+            chunk = st
+
+        def step(caches, frames):
+            out, new_caches = _encoder_stream_chunk(enc, cfg, frames,
+                                                    caches, False)
+            return new_caches, out
+
+        # [(T-1)/k, B, k, H, W, 3]
+        b = video.shape[0]
+        frames = jnp.moveaxis(video[:, 1:], 1, 0).reshape(
+            (T - 1) // chunk, chunk, b, *video.shape[2:]).swapaxes(1, 2)
+        _, outs = jax.lax.scan(step, caches, frames)
+        rest = jnp.moveaxis(outs, 1, 0).reshape(b, -1, *outs.shape[3:])
+        moments = jnp.concatenate([first_out, rest], axis=1)
+    moments = causal_conv3d(params["quant_conv"], moments)
+    mean, logvar = jnp.split(moments, 2, axis=-1)
+    return mean, logvar
+
+
+def encode_mode_streaming(params, cfg: WanVAEConfig, video,
+                          chunk: int | None = None):
+    """Deterministic streaming encode (sample_mode='argmax')."""
+    mean, _ = encode_moments_streaming(params, cfg, video, chunk)
+    return mean
+
+
+def encode_sample_streaming(params, cfg: WanVAEConfig, video, key,
+                            chunk: int | None = None):
+    mean, logvar = encode_moments_streaming(params, cfg, video, chunk)
+    std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+    return mean + std * jax.random.normal(key, mean.shape, mean.dtype)

@@ -191,6 +191,144 @@ def test_wan_vae_streaming_single_frame():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_wan_vae_torch_oracle_parity():
+    """Converter oracle (VERDICT r2 missing #3): random-init torch Wan VAE
+    (Wan-official state-dict naming, tests/_torch_wan_vae.py) -> state_dict ->
+    _convert_wan_vae -> JAX model must match torch encode/decode numerically.
+    Catches kernel-transpose/key-mapping bugs in the converter AND layout bugs
+    in the JAX model through an independent channel-first torch path."""
+    from dualforce_tpu.convert.load_checkpoint import _convert_wan_vae
+    from _torch_wan_vae import WanVAEOracle
+
+    cfg = WanVAEConfig(base_dim=8, z_dim=4, dim_mult=(1, 2, 2),
+                       num_res_blocks=1, temperal_downsample=(False, True),
+                       latents_mean=tuple([0.0] * 4),
+                       latents_std=tuple([1.0] * 4))
+    torch.manual_seed(0)
+    tm = WanVAEOracle(cfg).eval()
+    params = _convert_wan_vae(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, cfg)
+    params = jax.tree.map(jnp.asarray, params)
+
+    rng = np.random.default_rng(42)
+    video = rng.uniform(-1, 1, (1, 3, 5, 16, 16)).astype(np.float32)  # NCTHW
+    with torch.no_grad():
+        want_mean, want_logvar = tm.encode_moments(torch.tensor(video))
+        want_dec = tm.decode(want_mean).numpy()
+
+    video_j = jnp.asarray(video.transpose(0, 2, 3, 4, 1))  # NTHWC
+    got_mean, got_logvar = wan_vae.encode_moments(params, cfg, video_j)
+    np.testing.assert_allclose(
+        np.asarray(got_mean).transpose(0, 4, 1, 2, 3), want_mean.numpy(),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_logvar).transpose(0, 4, 1, 2, 3), want_logvar.numpy(),
+        rtol=1e-4, atol=1e-4)
+
+    got_dec = wan_vae.decode(params, cfg, got_mean)
+    np.testing.assert_allclose(
+        np.asarray(got_dec).transpose(0, 4, 1, 2, 3), want_dec,
+        rtol=1e-3, atol=1e-3)
+
+    # streaming paths agree with the oracle too
+    got_stream = wan_vae.encode_mode_streaming(params, cfg, video_j)
+    np.testing.assert_allclose(
+        np.asarray(got_stream).transpose(0, 4, 1, 2, 3), want_mean.numpy(),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_wan_vae_torch_oracle_two_temporal_downs():
+    """Shipped-architecture shape (dim_mult (1,1,2,2), two temporal downs,
+    shortcut-free first stage) through the converter oracle."""
+    from dualforce_tpu.convert.load_checkpoint import _convert_wan_vae
+    from _torch_wan_vae import WanVAEOracle
+
+    cfg = WanVAEConfig(base_dim=8, z_dim=4, dim_mult=(1, 1, 2, 2),
+                       num_res_blocks=2,
+                       temperal_downsample=(False, True, True),
+                       latents_mean=tuple([0.0] * 4),
+                       latents_std=tuple([1.0] * 4))
+    torch.manual_seed(1)
+    tm = WanVAEOracle(cfg).eval()
+    params = jax.tree.map(jnp.asarray, _convert_wan_vae(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, cfg))
+
+    rng = np.random.default_rng(7)
+    video = rng.uniform(-1, 1, (1, 3, 9, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want_mean, _ = tm.encode_moments(torch.tensor(video))
+        want_dec = tm.decode(want_mean).numpy()
+    video_j = jnp.asarray(video.transpose(0, 2, 3, 4, 1))
+    got_mean = wan_vae.encode_mode(params, cfg, video_j)
+    np.testing.assert_allclose(
+        np.asarray(got_mean).transpose(0, 4, 1, 2, 3), want_mean.numpy(),
+        rtol=1e-4, atol=1e-4)
+    got_dec = wan_vae.decode_streaming(params, cfg, got_mean)
+    np.testing.assert_allclose(
+        np.asarray(got_dec).transpose(0, 4, 1, 2, 3), want_dec,
+        rtol=1e-3, atol=1e-3)
+
+
+def test_wan_vae_streaming_encode_matches_full():
+    """Chunked (cache-carried) encode must equal the full-sequence encode
+    (wan_vae.encode_moments_streaming; reference encodes with the same
+    feature cache it decodes with)."""
+    cfg = TINY_WAN
+    params = wan_vae.init(jax.random.PRNGKey(0), cfg)
+    T = 9  # one temporal downsample in TINY_WAN -> st=2, (T-1)%2==0
+    video = jax.random.normal(jax.random.PRNGKey(9), (2, T, 16, 16, 3))
+    fm, fl = wan_vae.encode_moments(params, cfg, video)
+    sm, sl = wan_vae.encode_moments_streaming(params, cfg, video)
+    assert sm.shape == fm.shape
+    np.testing.assert_allclose(np.asarray(sm), np.asarray(fm),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sl), np.asarray(fl),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_wan_vae_streaming_encode_two_temporal_downs():
+    """Shipped-architecture shape (two temporal downsamples, st=4): every
+    dividing chunk matches; non-dividing chunk falls back to st."""
+    cfg = WanVAEConfig(base_dim=8, z_dim=4, dim_mult=(1, 1, 2, 2),
+                       num_res_blocks=1,
+                       temperal_downsample=(False, True, True),
+                       latents_mean=tuple([0.0] * 4),
+                       latents_std=tuple([1.0] * 4))
+    params = wan_vae.init(jax.random.PRNGKey(1), cfg)
+    T = 17  # (17-1)/4+1 = 5 latent frames
+    video = jax.random.normal(jax.random.PRNGKey(10), (1, T, 16, 16, 3))
+    full, _ = wan_vae.encode_moments(params, cfg, video)
+    for chunk in (None, 4, 8, 16, 12, 6):  # 12,6 don't divide/align -> fallback
+        stream, _ = wan_vae.encode_moments_streaming(params, cfg, video,
+                                                     chunk=chunk)
+        np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"chunk={chunk}")
+
+
+def test_wan_vae_streaming_encode_single_frame():
+    cfg = TINY_WAN
+    params = wan_vae.init(jax.random.PRNGKey(0), cfg)
+    video = jax.random.normal(jax.random.PRNGKey(11), (1, 1, 16, 16, 3))
+    full = wan_vae.encode_mode(params, cfg, video)
+    stream = wan_vae.encode_mode_streaming(params, cfg, video)
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_wan_vae_streaming_encode_sample_matches_full():
+    """encode_sample vs streaming with the SAME key must agree (same moments
+    -> same noise draw)."""
+    cfg = TINY_WAN
+    params = wan_vae.init(jax.random.PRNGKey(0), cfg)
+    video = jax.random.normal(jax.random.PRNGKey(12), (1, 5, 16, 16, 3))
+    k = jax.random.PRNGKey(13)
+    full = wan_vae.encode_sample(params, cfg, video, k)
+    stream = wan_vae.encode_sample_streaming(params, cfg, video, k)
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_dac_rvq_parity():
     """RVQ (discrete) DAC mode vs the torch oracle: quantized z, codes,
     reconstruction from z and from codes (dac_vae.py:346-588,935-960)."""
