@@ -231,10 +231,18 @@ class LoRATrainer:
             export_trained_modules(
                 jax.tree.map(np.asarray, self.lora), self.cfg, step_dir)
         else:
+            lora_np = jax.tree.map(np.asarray, self.lora)
             lora_mod.save_lora(
-                jax.tree.map(np.asarray, self.lora),
-                f"{step_dir}/lora_weights.npz".replace(".npz", ""),
+                lora_np, f"{step_dir}/lora_weights.npz".replace(".npz", ""),
                 alpha=self.tcfg.lora_alpha, rank=self.tcfg.lora_rank)
+            # also write the reference's torch on-disk format so LoRAs trained
+            # here round-trip into the torch ecosystem
+            # (lora_utils.py:259-308; re-importable via convert/lora_import.py)
+            from dualforce_tpu.convert.lora_export import save_reference_lora
+
+            save_reference_lora(lora_np, self.cfg, step_dir,
+                                alpha=self.tcfg.lora_alpha,
+                                rank=self.tcfg.lora_rank)
 
     def _rope_pack(self, encoded):
         from dualforce_tpu.diffusion.step import make_rope_pack

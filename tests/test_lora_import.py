@@ -130,6 +130,79 @@ def test_class_name_rank_in_config(tmp_path):
     assert "blocks/self_attn/q/kernel" in lora["video_dit"]
 
 
+def _random_lora_tree(cfg, rng):
+    """A realistically-shaped trained tree (nonzero a AND b everywhere)."""
+    from dualforce_tpu.engine.lora import init_pipeline_lora
+
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg, with_vaes=False,
+                                  with_text=False, two_video_towers=False)
+    lora = init_pipeline_lora(jax.random.PRNGKey(1), params, rank=RANK)
+    return jax.tree.map(
+        lambda x: jnp.asarray(rng.normal(size=x.shape).astype(np.float32)),
+        lora)
+
+
+def test_lora_export_roundtrip_accelerate(tmp_path):
+    """train here -> save_reference_lora -> load_reference_lora == bit-equal
+    tree (VERDICT r2 missing #4; lora_utils.py:259-308 format)."""
+    from dualforce_tpu.convert.lora_export import save_reference_lora
+
+    cfg = tiny_test_config()
+    lora = _random_lora_tree(cfg, np.random.default_rng(4))
+    d = tmp_path / "exported"
+    save_reference_lora(jax.tree.map(np.asarray, lora), cfg, str(d),
+                        alpha=ALPHA, rank=RANK)
+    assert (d / "lora_weights.pt").exists() and (d / "lora_config.pt").exists()
+
+    back, meta = load_reference_lora(str(d), cfg)
+    assert meta["alpha"] == ALPHA and meta["rank"] == RANK
+    for mod, tree in lora.items():
+        for path, ab in tree.items():
+            np.testing.assert_array_equal(
+                np.asarray(ab["a"]), back[mod][path]["a"],
+                err_msg=f"{mod}:{path} a")
+            np.testing.assert_array_equal(
+                np.asarray(ab["b"]), back[mod][path]["b"],
+                err_msg=f"{mod}:{path} b")
+
+
+def test_lora_export_roundtrip_low_resource(tmp_path):
+    """Low-resource buffer-style export re-imports bit-equal."""
+    from dualforce_tpu.convert.lora_export import save_reference_lora
+
+    cfg = tiny_test_config()
+    lora = _random_lora_tree(cfg, np.random.default_rng(5))
+    pt = tmp_path / "lora_lr.pt"
+    save_reference_lora(jax.tree.map(np.asarray, lora), cfg, str(pt),
+                        alpha=ALPHA, rank=RANK, style="low_resource")
+    back, _ = load_reference_lora(str(pt), cfg)
+    for mod, tree in lora.items():
+        for path, ab in tree.items():
+            np.testing.assert_array_equal(np.asarray(ab["a"]),
+                                          back[mod][path]["a"])
+            np.testing.assert_array_equal(np.asarray(ab["b"]),
+                                          back[mod][path]["b"])
+
+
+def test_lora_export_drops_zero_layers(tmp_path):
+    """Zero-filled (untrained) stacked positions are not written — matches
+    the reference saving only targeted layers."""
+    from dualforce_tpu.convert.lora_export import export_lora_state_dict
+
+    cfg = tiny_test_config()
+    L = cfg.video_dit.num_layers
+    vdim = cfg.video_dit.dim
+    a = np.zeros((L, vdim, RANK), np.float32)
+    b = np.zeros((L, RANK, vdim), np.float32)
+    a[0] = 1.0  # only layer 0 trained
+    sd = export_lora_state_dict(
+        {"video_dit": {"blocks/self_attn/q/kernel": {"a": a, "b": b}}}, cfg)
+    assert "video_dit.blocks.0.self_attn.q.lora_A.weight" in sd
+    assert not any(".blocks.1." in k for k in sd)
+    # torch layout: A [r, in]
+    assert sd["video_dit.blocks.0.self_attn.q.lora_A.weight"].shape == (RANK, vdim)
+
+
 def test_partial_layer_missing_factor_is_skipped():
     """A layer with only one factor (truncated save) is recorded under
     skipped, not a KeyError — and other complete layers still convert."""
