@@ -71,7 +71,8 @@ class MOVAPipeline:
 
     def __init__(self, cfg: MOVAConfig, params: Dict[str, Any], tokenizer=None,
                  compute_dtype=jnp.bfloat16, attn_impl: str = "auto",
-                 offload: str = "none", mesh=None, quantize: str = "none"):
+                 offload: str = "none", mesh=None, quantize: str = "none",
+                 mask_ctx_pad: bool = False):
         """offload: "none" (weights HBM-resident, the TPU-native default) or
         "component" — the escape hatch for chips whose HBM can't hold the
         full pipeline (reference's enable_model_cpu_offload +
@@ -115,6 +116,12 @@ class MOVAPipeline:
         if offload not in ("none", "component"):
             raise ValueError(f"unknown offload mode {offload!r}")
         self.offload = offload
+        # mask_ctx_pad: cross-attend only each prompt's valid tokens via the
+        # kernel's per-batch kv mask instead of the reference's attend-the-
+        # zero-pads semantics (wan_video_dit.py:232-245). OPT-IN: changes
+        # numerics vs the reference (typically helpful for near-empty
+        # negative prompts under cfg_batch); default off for exact parity.
+        self.mask_ctx_pad = mask_ctx_pad
         # mesh: enables the cp/data activation-sharding hints during tracing
         # — without them a cp mesh replicates the sequence (parallel/hints.py)
         self.mesh = mesh
@@ -179,8 +186,11 @@ class MOVAPipeline:
 
     # --- text ---------------------------------------------------------------
     def encode_prompt(self, prompts: List[str], max_len: int = 512,
-                      params: Optional[Dict[str, Any]] = None) -> jnp.ndarray:
-        """UMT5 embed + zero-pad to max_len (pipeline_mova.py:280-319)."""
+                      params: Optional[Dict[str, Any]] = None,
+                      return_len: bool = False):
+        """UMT5 embed + zero-pad to max_len (pipeline_mova.py:280-319).
+        return_len=True also returns the per-prompt valid token counts
+        ([B] int32, from the tokenizer attention mask) for mask_ctx_pad."""
         params = params if params is not None else self.params
         prompts = [prompt_clean(p) for p in prompts]
         tok = self.tokenizer(
@@ -193,7 +203,12 @@ class MOVAPipeline:
                           compute_dtype=self.compute_dtype)
         # zero out positions beyond each prompt's length (reference re-pads
         # with zeros rather than keeping encoder outputs at pad positions)
-        return emb * jnp.asarray(mask)[:, :, None].astype(emb.dtype)
+        emb = emb * jnp.asarray(mask)[:, :, None].astype(emb.dtype)
+        if return_len:
+            # clamp to >= 1: the kernel's kv mask is undefined for len 0
+            lens = np.maximum(np.asarray(mask).sum(axis=1), 1).astype(np.int32)
+            return emb, jnp.asarray(lens)
+        return emb
 
     # --- latents ------------------------------------------------------------
     def prepare_latents(
@@ -237,8 +252,11 @@ class MOVAPipeline:
         video_condition = np.zeros((b, num_frames, height, width, 3), np.float32)
         for i, frame in enumerate(first_frames):
             video_condition[i, 0] = frame
-        cond = wan_vae.encode_mode(params["video_vae"], vcfg,
-                                   jnp.asarray(video_condition))
+        # streaming encode (reference encodes with the same feature cache it
+        # decodes with, pipeline_mova.py:236-240) — required at 720p where the
+        # full-sequence encoder activations exceed HBM
+        cond = wan_vae.encode_mode_streaming(params["video_vae"], vcfg,
+                                             jnp.asarray(video_condition))
         cond = wan_vae.normalize_latents(cond, vcfg)          # [b,F,lh,lw,16]
         cond = jnp.transpose(cond, (0, 4, 1, 2, 3)).astype(jnp.float32)
 
@@ -273,7 +291,7 @@ class MOVAPipeline:
             if phase is None:
                 def run(video_hi, video_lo, audio_params, bridge_params,
                         latents, condition, audio_latents, ctx_pos, ctx_neg,
-                        rope_pack):
+                        ctx_len_pos, ctx_len_neg, rope_pack):
                     return denoise_loop(
                         video_hi, video_lo, audio_params, bridge_params,
                         self.cfg, latents, condition, audio_latents, ctx_pos, ctx_neg,
@@ -283,13 +301,14 @@ class MOVAPipeline:
                         cfg_cache_interval=cfg_cache_interval,
                         cfg_scale_bridge=cfg_scale_bridge,
                         sp_mesh=self._sp_mesh(),
+                        ctx_len_pos=ctx_len_pos, ctx_len_neg=ctx_len_neg,
                         progress_fn=self._traced_progress_fn)
             else:
                 start, stop = phase
 
                 def run(video_params, audio_params, bridge_params,
                         latents, condition, audio_latents, ctx_pos, ctx_neg,
-                        rope_pack):
+                        ctx_len_pos, ctx_len_neg, rope_pack):
                     return denoise_range(
                         video_params, audio_params, bridge_params,
                         self.cfg, latents, condition, audio_latents, ctx_pos, ctx_neg,
@@ -299,6 +318,7 @@ class MOVAPipeline:
                         cfg_cache_interval=cfg_cache_interval,
                         cfg_scale_bridge=cfg_scale_bridge,
                         sp_mesh=self._sp_mesh(),
+                        ctx_len_pos=ctx_len_pos, ctx_len_neg=ctx_len_neg,
                         progress_fn=self._traced_progress_fn)
 
             jit_fn = jax.jit(run)
@@ -380,11 +400,16 @@ class MOVAPipeline:
         run = self._get_denoise(plan, cfg_scale, video_fps, cfg_batch,
                                 cfg_cache_interval=cfg_cache_interval,
                                 cfg_scale_bridge=cfg_scale_bridge)
+        # lens abstracts only when mask_ctx_pad (None otherwise — the traced
+        # signature must match what generate() passes)
+        len_pos = st_((b,), jnp.int32) if self.mask_ctx_pad else None
+        len_neg = (st_((b,), jnp.int32)
+                   if self.mask_ctx_pad and cfg_scale != 1.0 else None)
         args = (params_abstract["video_dit"], params_abstract.get("video_dit_2"),
                 params_abstract["audio_dit"], params_abstract["bridge"],
                 abstract["latents"], abstract["condition"],
                 abstract["audio_latents"], abstract["ctx_pos"],
-                abstract["ctx_neg"], rope_abstract)
+                abstract["ctx_neg"], len_pos, len_neg, rope_abstract)
         # register the executable with the dispatcher: jit's own cache is NOT
         # populated by lower().compile(), so the first real call would retrace
         with self._sharding_hints():
@@ -439,15 +464,24 @@ class MOVAPipeline:
             [self.prepare_audio_latents(num_frames, video_fps, k[1])
              for k in item_keys], axis=0)
 
+        ctx_len_pos = ctx_len_neg = None
         with self._staged("text_encoder") as p:
-            ctx_pos = self.encode_prompt(prompts, params=p)
-            ctx_neg = (self.encode_prompt(negative_prompts, params=p)
-                       if cfg_scale != 1.0 else None)
+            if self.mask_ctx_pad:
+                ctx_pos, ctx_len_pos = self.encode_prompt(prompts, params=p,
+                                                          return_len=True)
+                ctx_neg = None
+                if cfg_scale != 1.0:
+                    ctx_neg, ctx_len_neg = self.encode_prompt(
+                        negative_prompts, params=p, return_len=True)
+            else:
+                ctx_pos = self.encode_prompt(prompts, params=p)
+                ctx_neg = (self.encode_prompt(negative_prompts, params=p)
+                           if cfg_scale != 1.0 else None)
 
         latents, audio_latents = self._denoise(
             plan, latents, condition, audio_latents, ctx_pos, ctx_neg,
             cfg_scale, video_fps, cfg_batch, cfg_cache_interval,
-            cfg_scale_bridge)
+            cfg_scale_bridge, ctx_len_pos=ctx_len_pos, ctx_len_neg=ctx_len_neg)
 
         results = []
         # exact AV duration: the audio latent length was rounded UP to the
@@ -469,7 +503,7 @@ class MOVAPipeline:
 
     def _denoise(self, plan, latents, condition, audio_latents, ctx_pos,
                  ctx_neg, cfg_scale, video_fps, cfg_batch, cfg_cache_interval,
-                 cfg_scale_bridge=0.0):
+                 cfg_scale_bridge=0.0, ctx_len_pos=None, ctx_len_neg=None):
         vcfg = self.cfg.video_dit
         pt, ph, pw = vcfg.patch_size
         grid = (latents.shape[2] // pt, latents.shape[3] // ph,
@@ -501,7 +535,7 @@ class MOVAPipeline:
                     self.params["video_dit"], self.params.get("video_dit_2"),
                     self.params["audio_dit"], self.params["bridge"],
                     latents, condition, audio_latents, ctx_pos, ctx_neg,
-                    rope_pack)
+                    ctx_len_pos, ctx_len_neg, rope_pack)
 
         # two expert phases as separate jitted programs; only the active
         # 14B tower is HBM-resident (pipeline_mova.py:403-419 behavior)
@@ -520,7 +554,7 @@ class MOVAPipeline:
                     latents, audio_latents = run(
                         p[tower], shared["audio_dit"], shared["bridge"],
                         latents, condition, audio_latents, ctx_pos,
-                        ctx_neg, rope_pack)
+                        ctx_neg, ctx_len_pos, ctx_len_neg, rope_pack)
         return latents, audio_latents
 
     # --- full generation ----------------------------------------------------

@@ -91,6 +91,8 @@ def denoise_range(
     cfg_scale_bridge: float = 0.0,
     sp_mesh=None,
     progress_fn=None,
+    ctx_len_pos: Optional[jnp.ndarray] = None,
+    ctx_len_neg: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Steps [start, stop) of the paired flow-match loop with a single video
     expert. The component-offload path runs the two expert phases as separate
@@ -103,7 +105,8 @@ def denoise_range(
         compute_dtype=compute_dtype, attn_impl=attn_impl, rope_pack=rope_pack,
         cfg_cache_interval=cfg_cache_interval,
         cfg_scale_bridge=cfg_scale_bridge, sp_mesh=sp_mesh,
-        progress_fn=progress_fn, _range=(start, stop))
+        progress_fn=progress_fn, ctx_len_pos=ctx_len_pos,
+        ctx_len_neg=ctx_len_neg, _range=(start, stop))
 
 
 def denoise_loop(
@@ -128,12 +131,20 @@ def denoise_loop(
     cfg_scale_bridge: float = 0.0,
     sp_mesh=None,
     progress_fn=None,
+    ctx_len_pos: Optional[jnp.ndarray] = None,
+    ctx_len_neg: Optional[jnp.ndarray] = None,
     _range: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """progress_fn(step, total): host callback fired per denoise step from
     INSIDE the compiled loop (jax.debug.callback — async, no device sync);
     the serving layer surfaces it as task progress. Must be a stable
-    function object: it is baked into the traced program."""
+    function object: it is baked into the traced program.
+
+    ctx_len_pos/ctx_len_neg: optional [B] int32 per-item valid context
+    lengths. When given, cross-attention masks KV beyond each length via the
+    kernel's per-batch kv mask instead of attending to zero-pads. OPT-IN
+    deviation from the reference (which attends the zero-padded 512,
+    wan_video_dit.py:232-245); pipeline flag mask_ctx_pad wires it."""
     pair_t = jnp.asarray(plan.pair_timesteps)     # [N, 2]
     sig_v = jnp.asarray(plan.sigmas_visual)       # [N+1]
     sig_a = jnp.asarray(plan.sigmas_audio)
@@ -145,30 +156,40 @@ def denoise_loop(
         raise ValueError("cfg_cache_interval > 1 requires cfg_batch=False "
                          "(the cache replaces the second pass entirely)")
 
+    if ctx_len_pos is not None:
+        ctx_len_pos = ctx_len_pos.astype(jnp.int32).reshape(b)
+    if ctx_len_neg is not None:
+        ctx_len_neg = ctx_len_neg.astype(jnp.int32).reshape(b)
     if use_cfg and cfg_batch:
         ctx_both = jnp.concatenate([ctx_pos, ctx_neg], axis=0)
+        len_both = (jnp.concatenate([ctx_len_pos, ctx_len_neg])
+                    if ctx_len_pos is not None and ctx_len_neg is not None
+                    else None)
 
-    def run_tower(video_params, ctx, mi, al, tt, att, bridge_scale=None):
+    def run_tower(video_params, ctx, mi, al, tt, att, bridge_scale=None,
+                  ctx_len=None):
         return dual_tower_step(
             video_params, audio_params, bridge_params,
             cfg.video_dit, cfg.audio_dit, cfg.bridge,
             mi, al, ctx, tt, att,
             video_fps=video_fps, compute_dtype=compute_dtype,
             attn_impl=attn_impl, rope_pack=rope_pack,
-            condition_scale=bridge_scale, sp_mesh=sp_mesh)
+            condition_scale=bridge_scale, sp_mesh=sp_mesh,
+            ctx_valid_len=ctx_len)
 
     def bridge_guidance(video_params, model_in, alat, t, at, v_pos, a_pos):
         """s_B * (pos - pos_with_bridge_off): the direction the bridge pulls
         each modality, amplified — guidance toward cross-modal agreement."""
         v_nb, a_nb = run_tower(video_params, ctx_pos, model_in, alat, t, at,
-                               bridge_scale=0.0)
+                               bridge_scale=0.0, ctx_len=ctx_len_pos)
         return (cfg_scale_bridge * (v_pos - v_nb.astype(jnp.float32)),
                 cfg_scale_bridge * (a_pos - a_nb.astype(jnp.float32)))
 
     def predict(video_params, lat, alat, t, at):
         model_in = jnp.concatenate([lat, condition], axis=1)
         if not use_cfg:
-            v, a = run_tower(video_params, ctx_pos, model_in, alat, t, at)
+            v, a = run_tower(video_params, ctx_pos, model_in, alat, t, at,
+                             ctx_len=ctx_len_pos)
             v_pos, a_pos = v.astype(jnp.float32), a.astype(jnp.float32)
             v_pred, a_pred = v_pos, a_pos
         else:
@@ -176,12 +197,15 @@ def denoise_loop(
                 mi2 = jnp.concatenate([model_in, model_in], axis=0)
                 al2 = jnp.concatenate([alat, alat], axis=0)
                 v, a = run_tower(video_params, ctx_both, mi2, al2,
-                                 jnp.tile(t, 2), jnp.tile(at, 2))
+                                 jnp.tile(t, 2), jnp.tile(at, 2),
+                                 ctx_len=len_both)
                 v_pos, v_neg = v[:b].astype(jnp.float32), v[b:].astype(jnp.float32)
                 a_pos, a_neg = a[:b].astype(jnp.float32), a[b:].astype(jnp.float32)
             else:
-                v_pos, a_pos = run_tower(video_params, ctx_pos, model_in, alat, t, at)
-                v_neg, a_neg = run_tower(video_params, ctx_neg, model_in, alat, t, at)
+                v_pos, a_pos = run_tower(video_params, ctx_pos, model_in, alat,
+                                         t, at, ctx_len=ctx_len_pos)
+                v_neg, a_neg = run_tower(video_params, ctx_neg, model_in, alat,
+                                         t, at, ctx_len=ctx_len_neg)
                 v_pos, a_pos = v_pos.astype(jnp.float32), a_pos.astype(jnp.float32)
                 v_neg, a_neg = v_neg.astype(jnp.float32), a_neg.astype(jnp.float32)
             v_pred = v_neg + cfg_scale * (v_pos - v_neg)
@@ -200,13 +224,15 @@ def denoise_loop(
         compute toward 1 pass instead of 2 (serving accelerator; the
         positive pass always runs)."""
         model_in = jnp.concatenate([lat, condition], axis=1)
-        v_pos, a_pos = run_tower(video_params, ctx_pos, model_in, alat, t, at)
+        v_pos, a_pos = run_tower(video_params, ctx_pos, model_in, alat, t, at,
+                                 ctx_len=ctx_len_pos)
         v_pos, a_pos = v_pos.astype(jnp.float32), a_pos.astype(jnp.float32)
 
         refresh = jnp.logical_or(i % cfg_cache_interval == 0, i == phase_start)
 
         def compute_neg(_):
-            v, a = run_tower(video_params, ctx_neg, model_in, alat, t, at)
+            v, a = run_tower(video_params, ctx_neg, model_in, alat, t, at,
+                             ctx_len=ctx_len_neg)
             return v.astype(jnp.float32), a.astype(jnp.float32)
 
         v_neg, a_neg = jax.lax.cond(

@@ -66,6 +66,10 @@ def parse_args():
                         "reuse it in between (serving accelerator; 1 = exact)")
     p.add_argument("--cfg_batch", action="store_true",
                    help="batch pos+neg CFG passes in one forward")
+    p.add_argument("--mask_ctx_pad", action="store_true",
+                   help="cross-attend only the prompt's valid tokens via the "
+                        "kernel kv mask (deviates from the reference's "
+                        "attend-the-zero-pads semantics)")
     p.add_argument("--quantize", type=str, default="none",
                    choices=["none", "int8"],
                    help="int8 pre-quantizes DiT/bridge projections (w8a8 on "
@@ -157,7 +161,8 @@ def main():
               f"HBM in use: {hbm_in_use_gb():.1f} GB")
 
     pipe = MOVAPipeline(cfg, params, tokenizer=tokenizer, attn_impl=args.attn_type,
-                        offload=offload, mesh=mesh, quantize=args.quantize)
+                        offload=offload, mesh=mesh, quantize=args.quantize,
+                        mask_ctx_pad=args.mask_ctx_pad)
 
     image = Image.open(args.ref_path).convert("RGB")
     image = crop_and_resize(image, args.height, args.width)

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--quantize", type=str, default="none",
                     choices=["none", "int8"],
                     help="int8 w8a8 projections (lossy serving accelerator)")
+    ap.add_argument("--mask_ctx_pad", action="store_true",
+                    help="cross-attend only each prompt's valid tokens via "
+                         "the kernel kv mask (deviates from the reference's "
+                         "attend-the-zero-pads semantics)")
     ap.add_argument("--weight_dtype", type=str, default="bf16",
                     choices=["bf16", "fp8"],
                     help="fp8 stores matmul kernels as float8_e4m3 — both "
@@ -86,7 +90,8 @@ def main():
         params = shard_params(params, mesh)
     pipe = MOVAPipeline(cfg, params, tokenizer=load_tokenizer(args.ckpt_path),
                         attn_impl=args.attn_type, mesh=mesh,
-                        quantize=args.quantize, offload=args.offload)
+                        quantize=args.quantize, offload=args.offload,
+                        mask_ctx_pad=args.mask_ctx_pad)
     if args.warmup:
         w, h, frames, steps = (int(x) for x in args.warmup.split("x"))
         # batching makes group sizes 1..max_batch possible; warm the common ones
