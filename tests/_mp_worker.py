@@ -1,0 +1,104 @@
+"""Worker for the two-process jax.distributed test (test_multiprocess.py).
+
+Runs OUTSIDE pytest: forces the CPU platform itself, calls the production
+initialize_distributed() (parallel/mesh.py — the counterpart of the
+reference's dist.init_process_group, inference_single.py:58-60), builds a
+data-axis mesh over the global (cross-process) devices, and computes LoRA
+grads of the real training_loss on a deterministic global batch. Process 0
+writes the grads to OUT_PATH as npz for the parent test to compare.
+
+Env contract: PROCESS_ID, NUM_PROCESSES, OUT_PATH, and (for world>1)
+COORDINATOR_ADDRESS. The same script with NUM_PROCESSES=1 is the
+single-process reference run.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+
+    # axon's sitecustomize overrides the JAX_PLATFORMS env var; config.update
+    # before backend init is the reliable way to stay on CPU
+    jax.config.update("jax_platforms", "cpu")
+
+    from dualforce_tpu.parallel.mesh import create_mesh, initialize_distributed
+
+    world = int(os.environ["NUM_PROCESSES"])
+    pid = int(os.environ["PROCESS_ID"])
+    initialize_distributed()  # reads COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID
+    assert jax.process_count() == world, (jax.process_count(), world)
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dualforce_tpu.config import tiny_test_config
+    from dualforce_tpu.diffusion.flow_match import FlowMatchPairScheduler
+    from dualforce_tpu.diffusion.training import (
+        build_train_tables,
+        encode_batch,
+        training_loss,
+    )
+    from dualforce_tpu.engine import lora as lora_mod
+    from dualforce_tpu.models.factory import init_pipeline_params
+
+    cfg = tiny_test_config()
+    mesh = create_mesh(data=world)
+
+    # deterministic GLOBAL batch (b=2); each process owns one row in world=2
+    rng = np.random.default_rng(0)
+    T = 5
+    n_samples = int(48000 * T / 24)
+    g = {
+        "video": rng.uniform(-1, 1, (2, T, 32, 32, 3)).astype(np.float32),
+        "audio": rng.uniform(-0.3, 0.3, (2, 1, n_samples)).astype(np.float32),
+        "text_ids": rng.integers(2, 500, (2, 64)),
+        "text_mask": np.ones((2, 64), np.int64),
+    }
+    local = {k: (v if world == 1 else v[pid:pid + 1]) for k, v in g.items()}
+
+    def globalize(tree, spec):
+        return jax.tree.map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, spec), tree)
+
+    batch = globalize(local, P("data"))
+    params = globalize(
+        jax.tree.map(np.asarray,
+                     init_pipeline_params(jax.random.PRNGKey(0), cfg)), P())
+    lora = globalize(
+        jax.tree.map(np.asarray,
+                     lora_mod.init_pipeline_lora(jax.random.PRNGKey(1),
+                                                 params, rank=4)), P())
+    sched = FlowMatchPairScheduler(cfg.scheduler)
+    sched.set_timesteps(1000, training=True)
+    tables = build_train_tables(sched, cfg.boundary_ratio)
+
+    @jax.jit
+    def grads_of(lora, params, batch, key):
+        encoded = encode_batch(params, cfg, batch, compute_dtype=jnp.float32)
+        (_, _), g = jax.value_and_grad(training_loss, has_aux=True)(
+            lora, params, cfg, tables, encoded, key, 0,
+            compute_dtype=jnp.float32)
+        return g
+
+    g = grads_of(lora, params, batch, jax.random.PRNGKey(7))
+    # grads of replicated lora come out replicated -> addressable everywhere
+    host = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), g)
+    if pid == 0:
+        flat = {}
+        for (path, leaf) in jax.tree_util.tree_leaves_with_path(host):
+            flat[jax.tree_util.keystr(path)] = leaf
+        np.savez(os.environ["OUT_PATH"], **flat)
+        print("WROTE", os.environ["OUT_PATH"], len(flat))
+    multihost_utils.sync_global_devices("done")
+
+
+if __name__ == "__main__":
+    main()
