@@ -214,12 +214,190 @@ def clip_scores(video: np.ndarray, prompt: str,
     return {"clip_text_sim": float(sims.mean())}
 
 
+def _resample_linear(audio: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Linear-interp resample (hook preprocessing; not mastering-grade)."""
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    if sr == target_sr or len(audio) == 0:
+        return audio
+    n_out = int(round(len(audio) * target_sr / sr))
+    x_out = np.linspace(0.0, len(audio) - 1, n_out)
+    return np.interp(x_out, np.arange(len(audio)), audio).astype(np.float32)
+
+
+def _load_torchscript(model_path: str):
+    try:
+        import torch
+    except ImportError:
+        return None
+    try:
+        return torch.jit.load(model_path, map_location="cpu").eval()
+    except Exception:
+        return None
+
+
+def lse_from_embeddings(vid_emb: np.ndarray, aud_emb: np.ndarray,
+                        vshift: int = 15) -> Dict[str, float]:
+    """LSE-D / LSE-C from aligned per-window embeddings [N, D] (the SyncNet
+    scoring rule, Chung & Zisserman "Out of time"): for each video window,
+    L2 distance to the audio windows within ±vshift; LSE-D = mean over
+    windows of the minimum distance, LSE-C = mean of (mean - min) distance
+    (confidence). Lower D / higher C = better sync."""
+    n = min(len(vid_emb), len(aud_emb))
+    vid, aud = np.asarray(vid_emb, np.float64)[:n], np.asarray(aud_emb, np.float64)[:n]
+    mins, confs = [], []
+    for i in range(n):
+        lo, hi = max(0, i - vshift), min(n, i + vshift + 1)
+        d = np.linalg.norm(aud[lo:hi] - vid[i][None, :], axis=1)
+        mins.append(float(d.min()))
+        confs.append(float(d.mean() - d.min()))
+    return {"lse_d": float(np.mean(mins)), "lse_c": float(np.mean(confs))}
+
+
+def lse_scores(video: np.ndarray, audio: np.ndarray, sr: int, fps: float,
+               model_path: Optional[str] = None,
+               vshift: int = 15) -> Optional[Dict[str, float]]:
+    """SyncNet LSE-D/LSE-C via a LOCAL TorchScript checkpoint (zero-egress:
+    returns None without one). Contract: `forward(video, audio) ->
+    (vid_emb [N, D], aud_emb [N, D])` with video [T, 3, H, W] float in
+    [0, 1] at the clip fps and audio [S] float32 at 16 kHz; the model owns
+    face cropping / mel extraction and window alignment."""
+    model = _load_torchscript(model_path) if model_path else None
+    if model is None:
+        return None
+    import torch
+
+    v = torch.from_numpy(
+        np.ascontiguousarray(video.transpose(0, 3, 1, 2), np.float32) / 255.0)
+    a = torch.from_numpy(_resample_linear(audio, sr, 16000))
+    with torch.no_grad():
+        vid_emb, aud_emb = model(v, a)
+    return lse_from_embeddings(vid_emb.numpy(), aud_emb.numpy(), vshift)
+
+
+def dnsmos_score(audio: np.ndarray, sr: int,
+                 model_path: Optional[str] = None,
+                 segment_s: float = 9.0) -> Optional[Dict[str, float]]:
+    """DNSMOS P.835 via a LOCAL TorchScript checkpoint. Contract:
+    `forward(audio [1, S] float32 @16 kHz) -> [..., 3]` = (SIG, BAK, OVRL).
+    Scored over `segment_s` windows and averaged; OVRL is the headline
+    (BASELINE.md quality table's DNSMOS column)."""
+    model = _load_torchscript(model_path) if model_path else None
+    if model is None:
+        return None
+    import torch
+
+    a16 = _resample_linear(audio, sr, 16000)
+    seg = int(16000 * segment_s)
+    segments = [a16[i:i + seg] for i in range(0, max(len(a16) - seg + 1, 1), seg)]
+    if not segments:
+        segments = [a16]
+    scores = []
+    with torch.no_grad():
+        for s in segments:
+            out = model(torch.from_numpy(s[None, :]))
+            scores.append(np.asarray(out).reshape(-1)[-3:])
+    m = np.mean(scores, axis=0)
+    return {"dnsmos_sig": float(m[0]), "dnsmos_bak": float(m[1]),
+            "dnsmos_ovrl": float(m[2])}
+
+
+def inception_score(video: np.ndarray, model_path: Optional[str] = None,
+                    max_frames: int = 16) -> Optional[Dict[str, float]]:
+    """IS over sampled frames via a LOCAL TorchScript classifier. Contract:
+    `forward(frames [N, 3, H, W] float in [0, 1]) -> logits [N, C]`.
+    IS = exp(E_x KL(p(y|x) || p(y))), single split."""
+    model = _load_torchscript(model_path) if model_path else None
+    if model is None:
+        return None
+    import torch
+
+    idx = np.linspace(0, len(video) - 1, min(max_frames, len(video))).astype(int)
+    frames = torch.from_numpy(np.ascontiguousarray(
+        video[idx].transpose(0, 3, 1, 2), np.float32) / 255.0)
+    with torch.no_grad():
+        logits = model(frames).numpy().astype(np.float64)
+    logits -= logits.max(axis=1, keepdims=True)
+    p = np.exp(logits)
+    p /= p.sum(axis=1, keepdims=True)
+    marginal = p.mean(axis=0, keepdims=True)
+    kl = np.sum(p * (np.log(p + 1e-12) - np.log(marginal + 1e-12)), axis=1)
+    return {"inception_score": float(np.exp(kl.mean()))}
+
+
+def ib_score(video: np.ndarray, audio: np.ndarray, sr: int,
+             model_path: Optional[str] = None,
+             max_frames: int = 8) -> Optional[Dict[str, float]]:
+    """ImageBind-style image-audio agreement via a LOCAL TorchScript
+    embedder. Contract: `forward(frames [N, 3, H, W] float in [0, 1],
+    audio [S] float32 @16 kHz) -> (img_emb [N, D], aud_emb [M, D])`;
+    score = mean pairwise cosine similarity."""
+    model = _load_torchscript(model_path) if model_path else None
+    if model is None:
+        return None
+    import torch
+
+    idx = np.linspace(0, len(video) - 1, min(max_frames, len(video))).astype(int)
+    frames = torch.from_numpy(np.ascontiguousarray(
+        video[idx].transpose(0, 3, 1, 2), np.float32) / 255.0)
+    a = torch.from_numpy(_resample_linear(audio, sr, 16000))
+    with torch.no_grad():
+        img, aud = model(frames, a)
+    img = img.numpy() / (np.linalg.norm(img.numpy(), axis=1, keepdims=True) + 1e-9)
+    aud = aud.numpy() / (np.linalg.norm(aud.numpy(), axis=1, keepdims=True) + 1e-9)
+    return {"ib_score": float(np.mean(img @ aud.T))}
+
+
+def _cer(hyp: str, ref: str) -> float:
+    """Character error rate (Levenshtein / len(ref))."""
+    hyp, ref = list(hyp), list(ref)
+    if not ref:
+        return 0.0 if not hyp else 1.0
+    prev = list(range(len(ref) + 1))
+    for i, hc in enumerate(hyp, 1):
+        cur = [i] + [0] * len(ref)
+        for j, rc in enumerate(ref, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (hc != rc))
+        prev = cur
+    return prev[-1] / len(ref)
+
+
+def cpcer(audio: np.ndarray, sr: int, text: str,
+          asr_model_path: Optional[str] = None) -> Optional[Dict[str, float]]:
+    """Character error rate of the generated speech against the prompt text
+    via a LOCAL ASR checkpoint (transformers pipeline dir; zero-egress:
+    returns None without one)."""
+    if not asr_model_path or not text:
+        return None
+    try:
+        from transformers import pipeline as hf_pipeline
+    except ImportError:
+        return None
+    try:
+        asr = hf_pipeline("automatic-speech-recognition", model=asr_model_path)
+    except Exception:
+        return None
+    a16 = _resample_linear(audio, sr, 16000)
+    out = asr({"raw": a16, "sampling_rate": 16000})
+    hyp = (out.get("text") or "").strip().lower()
+    return {"cpcer": _cer(hyp, text.strip().lower()),
+            "transcript": hyp}
+
+
 def evaluate_clip(video: np.ndarray, audio: np.ndarray, sr: int, fps: float,
                   reference_video: Optional[np.ndarray] = None,
                   first_frame: Optional[np.ndarray] = None,
                   prompt: Optional[str] = None,
-                  clip_model: Optional[str] = None) -> Dict:
-    """One-call report over a generated [T,H,W,3] uint8 + [S] float clip."""
+                  clip_model: Optional[str] = None,
+                  syncnet_model: Optional[str] = None,
+                  dnsmos_model: Optional[str] = None,
+                  is_model: Optional[str] = None,
+                  ib_model: Optional[str] = None,
+                  asr_model: Optional[str] = None) -> Dict:
+    """One-call report over a generated [T,H,W,3] uint8 + [S] float clip.
+    The *_model paths enable the Verse-Bench-class model-based rows
+    (BASELINE.md quality table); each is skipped (absent from the report)
+    without its local checkpoint."""
     report: Dict = {
         "num_frames": int(len(video)),
         "resolution": [int(video.shape[1]), int(video.shape[2])],
@@ -239,4 +417,11 @@ def evaluate_clip(video: np.ndarray, audio: np.ndarray, sr: int, fps: float,
         cs = clip_scores(video, prompt, clip_model)
         if cs:
             report["clip"] = cs
+    for res in (lse_scores(video, audio, sr, fps, syncnet_model),
+                dnsmos_score(audio, sr, dnsmos_model),
+                inception_score(video, is_model),
+                ib_score(video, audio, sr, ib_model),
+                cpcer(audio, sr, prompt or "", asr_model)):
+        if res:
+            report.update(res)
     return report
