@@ -90,20 +90,34 @@ class VideoClient:
         guidance_scale: float = 5.0, guidance_scale_bridge: float = 0.0,
         num_inference_steps: int = 50,
         negative_prompt: str = "",
+        timeout_s: Optional[float] = None,
     ) -> VideoTask:
+        fields = {"prompt": prompt, "size": size, "num_frames": str(num_frames),
+                  "fps": str(fps), "seed": str(seed),
+                  "guidance_scale": str(guidance_scale),
+                  "guidance_scale_bridge": str(guidance_scale_bridge),
+                  "num_inference_steps": str(num_inference_steps),
+                  "negative_prompt": negative_prompt}
+        if timeout_s is not None:
+            fields["timeout_s"] = str(timeout_s)
         resp = self._post_multipart(
-            "/v1/videos",
-            {"prompt": prompt, "size": size, "num_frames": str(num_frames),
-             "fps": str(fps), "seed": str(seed),
-             "guidance_scale": str(guidance_scale),
-             "guidance_scale_bridge": str(guidance_scale_bridge),
-             "num_inference_steps": str(num_inference_steps),
-             "negative_prompt": negative_prompt},
+            "/v1/videos", fields,
             file_field="input_reference", file_bytes=image_bytes)
         return VideoTask.from_json(resp)
 
     def get_task(self, task_id: str) -> VideoTask:
         return VideoTask.from_json(self._get_json(f"/v1/videos/{task_id}"))
+
+    def cancel(self, task_id: str) -> VideoTask:
+        """Cancel a queued task (immediate) or a running one (resolves to
+        cancelled when the in-flight step finishes)."""
+        import json
+
+        req = urllib.request.Request(
+            self.base_url + f"/v1/videos/{task_id}/cancel", data=b"",
+            method="POST")
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            return VideoTask.from_json(json.load(r))
 
     def list_tasks(self) -> List[VideoTask]:
         return [VideoTask.from_json(d)
@@ -130,7 +144,7 @@ class VideoClient:
         deadline = time.time() + timeout
         while time.time() < deadline:
             task = self.get_task(task_id)
-            if task.status in ("completed", "failed"):
+            if task.status in ("completed", "failed", "cancelled"):
                 return task
             time.sleep(poll_interval)
         raise TimeoutError(f"task {task_id} did not finish in {timeout}s")

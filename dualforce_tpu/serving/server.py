@@ -32,7 +32,8 @@ from aiohttp import web
 @dataclass
 class Task:
     task_id: str
-    status: str = "queued"            # queued | running | completed | failed
+    # queued | running | cancelling | completed | failed | cancelled
+    status: str = "queued"
     prompt: str = ""
     progress: float = 0.0
     created_at: float = field(default_factory=time.time)
@@ -192,11 +193,18 @@ class VideoServer:
     def __init__(self, backend: Callable, out_dir: str = "./server_outputs",
                  model_name: str = "dualforce-tpu/mova",
                  batch_backend: Optional[Callable] = None,
-                 max_batch: int = 1, batch_window_s: float = 0.25):
+                 max_batch: int = 1, batch_window_s: float = 0.25,
+                 queue_timeout_s: Optional[float] = None):
+        """queue_timeout_s: default max time a task may wait in the queue
+        before it is failed as timed out (per-request `timeout_s` overrides).
+        None = wait forever. Enforced when the worker pops the task AND
+        lazily on status reads, so pollers see the timeout without a sweeper
+        thread."""
         self.backend = backend
         self.batch_backend = batch_backend
         self.max_batch = max_batch
         self.batch_window_s = batch_window_s
+        self.queue_timeout_s = queue_timeout_s
         self.store = TaskStore(out_dir)
         self.out_dir = out_dir
         self.model_name = model_name
@@ -208,6 +216,10 @@ class VideoServer:
             if t.status == "running":
                 self.store.update(t.task_id, status="failed",
                                   error="server restarted mid-generation")
+            elif t.status == "cancelling":
+                # the in-flight program died with the process; the cancel wins
+                self.store.update(t.task_id, status="cancelled",
+                                  completed_at=time.time())
             elif t.status == "queued":
                 self.queue.put(t.task_id)
         self._worker = threading.Thread(target=self._run_worker, daemon=True)
@@ -220,14 +232,35 @@ class VideoServer:
             web.get("/v1/videos", self.list_tasks),
             web.get("/v1/videos/{task_id}", self.status),
             web.get("/v1/videos/{task_id}/content", self.download),
+            web.delete("/v1/videos/{task_id}", self.cancel),
+            web.post("/v1/videos/{task_id}/cancel", self.cancel),
         ])
+
+    # --- cancellation / timeout ----------------------------------------------
+    def _task_timeout(self, t: Task) -> Optional[float]:
+        return t.params.get("timeout_s", self.queue_timeout_s)
+
+    def _expire_if_queued_too_long(self, t: Optional[Task]) -> Optional[Task]:
+        """Fail a still-queued task whose queue wait exceeded its timeout
+        (lazy: called from status reads and from the worker pop)."""
+        if t is not None and t.status == "queued":
+            limit = self._task_timeout(t)
+            if limit is not None and time.time() - t.created_at > limit:
+                self.store.update(t.task_id, status="failed",
+                                  error=f"timed out after {limit:.0f}s in queue")
+                return self.store.get(t.task_id)
+        return t
 
     # --- worker -------------------------------------------------------------
     def _next_group(self, pending):
-        """Pop the head task plus up to max_batch-1 same-geometry tasks."""
+        """Pop the head task plus up to max_batch-1 same-geometry tasks.
+        Cancelled / timed-out tasks are skipped."""
         head = None
         while pending and head is None:
-            head = self.store.get(pending.popleft())
+            head = self._expire_if_queued_too_long(
+                self.store.get(pending.popleft()))
+            if head is not None and head.status != "queued":
+                head = None  # cancelled or timed out while waiting
         if head is None:
             return []
         group = [head]
@@ -236,8 +269,8 @@ class VideoServer:
             rest = []
             while pending and len(group) < self.max_batch:
                 tid = pending.popleft()
-                t = self.store.get(tid)
-                if t is None:
+                t = self._expire_if_queued_too_long(self.store.get(tid))
+                if t is None or t.status != "queued":
                     continue
                 if _geom_key(t) == key:
                     group.append(t)
@@ -304,6 +337,14 @@ class VideoServer:
                         f"backend returned {len(results)} results for "
                         f"{len(group)} tasks")  # -> whole group marked failed
                 for t, result in zip(group, results):
+                    cur = self.store.get(t.task_id)
+                    if cur is not None and cur.status == "cancelling":
+                        # cancel arrived mid-generation: the in-flight XLA
+                        # program can't be preempted, so the request resolves
+                        # when it finishes — result discarded
+                        self.store.update(t.task_id, status="cancelled",
+                                          completed_at=time.time())
+                        continue
                     self.store.update(
                         t.task_id, status="completed", progress=1.0,
                         completed_at=time.time(),
@@ -314,7 +355,13 @@ class VideoServer:
             except Exception as e:  # noqa: BLE001 — group-level failure isolation
                 traceback.print_exc()
                 for t in group:
-                    self.store.update(t.task_id, status="failed", error=str(e))
+                    cur = self.store.get(t.task_id)
+                    if cur is not None and cur.status == "cancelling":
+                        self.store.update(t.task_id, status="cancelled",
+                                          completed_at=time.time())
+                    else:
+                        self.store.update(t.task_id, status="failed",
+                                          error=str(e))
 
     # --- handlers -----------------------------------------------------------
     async def health(self, request):
@@ -344,6 +391,8 @@ class VideoServer:
             guidance = float(fields.get("guidance_scale", 5.0))
             guidance_bridge = float(fields.get("guidance_scale_bridge", 0.0))
             steps = int(fields.get("num_inference_steps", 50))
+            timeout_s = (float(fields["timeout_s"])
+                         if "timeout_s" in fields else None)
         except (ValueError, TypeError) as e:
             return web.json_response(
                 {"error": f"invalid request field: {e}"}, status=400)
@@ -367,13 +416,15 @@ class VideoServer:
                 "guidance_scale_bridge": guidance_bridge,
                 "num_inference_steps": steps,
                 "image_path": image_path,
+                **({"timeout_s": timeout_s} if timeout_s is not None else {}),
             })
         self.store.add(task)
         self.queue.put(task.task_id)
         return web.json_response({"task_id": task.task_id, "status": task.status})
 
     async def status(self, request):
-        task = self.store.get(request.match_info["task_id"])
+        task = self._expire_if_queued_too_long(
+            self.store.get(request.match_info["task_id"]))
         if task is None:
             return web.json_response({"error": "not found"}, status=404)
         d = asdict(task)
@@ -383,10 +434,32 @@ class VideoServer:
     async def list_tasks(self, request):
         out = []
         for t in self.store.all():
-            d = asdict(t)
+            d = asdict(self._expire_if_queued_too_long(t))
             d["params"].pop("image_hex", None)
             out.append(d)
         return web.json_response({"data": out})
+
+    async def cancel(self, request):
+        """DELETE /v1/videos/{id} (or POST .../cancel): queued tasks cancel
+        immediately; a running task flips to 'cancelling' and resolves to
+        'cancelled' when its in-flight compiled step finishes (XLA programs
+        are not preemptible). Terminal tasks return 409."""
+        task = self.store.get(request.match_info["task_id"])
+        if task is None:
+            return web.json_response({"error": "not found"}, status=404)
+        if task.status == "queued":
+            self.store.update(task.task_id, status="cancelled",
+                              completed_at=time.time())
+        elif task.status == "running":
+            self.store.update(task.task_id, status="cancelling")
+        elif task.status == "cancelling":
+            pass  # idempotent
+        else:
+            return web.json_response(
+                {"error": f"task is {task.status}"}, status=409)
+        return web.json_response(
+            {"task_id": task.task_id,
+             "status": self.store.get(task.task_id).status})
 
     async def download(self, request):
         task = self.store.get(request.match_info["task_id"])

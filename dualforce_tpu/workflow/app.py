@@ -33,6 +33,12 @@ textarea,input{width:100%;box-sizing:border-box;margin:.25rem 0}
 button{padding:.5rem 1rem;border-radius:6px;border:0;background:#3b5bdb;color:#fff;cursor:pointer}
 .task{border:1px solid #ddd;border-radius:8px;padding:.6rem;margin:.4rem 0}
 .status-completed{color:#2b8a3e}.status-failed{color:#c92a2a}.status-running{color:#e8590c}
+.status-cancelled,.status-cancelling{color:#868e96}
+.cancel{background:#c92a2a;padding:.15rem .5rem;font-size:.8rem;margin-left:.4rem}
+.artifacts{background:#f8f9fa;border-radius:6px;padding:.5rem;margin-top:.4rem}
+.artifacts img{max-width:200px;border-radius:4px;display:block;margin:.3rem 0}
+.artifacts pre{white-space:pre-wrap;font-size:.85rem;margin:.2rem 0}
+details summary{cursor:pointer;color:#3b5bdb}
 </style></head>
 <body>
 <h1>DualForce-TPU Studio</h1>
@@ -70,6 +76,32 @@ async function submitFull(){
   refresh();
 }
 function fmtTime(ts){ return ts ? new Date(ts*1000).toLocaleTimeString() : ''; }
+async function cancelTask(id){
+  await fetch(`/v1/videos/${id}/cancel`, {method:'POST'});
+  refresh();
+}
+async function loadArtifacts(id){
+  const box = document.getElementById(`art-${id}`);
+  if (!box || box.dataset.loaded) return;
+  box.dataset.loaded = '1';
+  const js = await (await fetch(`/workflow/tasks/${id}`)).json();
+  let html = '';
+  const a = js.artifacts || {};
+  // full-mode parity with the reference app: first-frame preview inline,
+  // idea / extracted elements / rewritten prompt as labeled sections
+  for (const [name, val] of Object.entries(a)){
+    if (/\\.(png|jpe?g)$/i.test(name)){
+      html += `<div><small>${name}</small><img src="${val}"></div>`;
+    } else if (name.endsWith('.txt')){
+      const label = {idea:'Idea', elements:'Extracted elements',
+                     prompt:'Rewritten prompt'}[name.replace('.txt','')] || name;
+      html += `<div><small><b>${label}</b></small><pre>${val}</pre></div>`;
+    } else {
+      html += `<div><a href="${val}">${name}</a></div>`;
+    }
+  }
+  box.innerHTML = html || '<small>no artifacts</small>';
+}
 async function refresh(){
   const r = await fetch('/v1/videos'); const js = await r.json();
   const el = document.getElementById('tasks'); el.innerHTML='';
@@ -85,13 +117,20 @@ async function refresh(){
         `</small>`;
     } else if (t.status==='failed'){
       extra = `<pre style="color:#c92a2a;white-space:pre-wrap">${t.error||''}</pre>`;
+    } else if (t.status==='cancelled'){
+      extra = `<small>cancelled</small>`;
     } else {
       extra = `<div style="background:#eee;border-radius:4px"><div style="background:#3b5bdb;height:6px;border-radius:4px;width:${pct}%"></div></div>`;
     }
+    const cancellable = (t.status==='queued'||t.status==='running');
     d.innerHTML = `<b>${t.task_id}</b> <span class="status-${t.status}">${t.status}</span>
       ${pct}% <small>${fmtTime(t.created_at)}</small>
-      — ${t.prompt.slice(0,120)}
-      <a href="/workflow/tasks/${t.task_id}">artifacts</a><br>${extra}`;
+      — ${t.prompt.slice(0,120)}` +
+      (cancellable ? `<button class="cancel" onclick="cancelTask('${t.task_id}')">cancel</button>` : '') +
+      `<details ontoggle="loadArtifacts('${t.task_id}')">
+        <summary>artifacts</summary>
+        <div class="artifacts" id="art-${t.task_id}"></div>
+      </details>${extra}`;
     el.appendChild(d);
   });
 }

@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--quantize", type=str, default="none",
                     choices=["none", "int8"],
                     help="int8 w8a8 projections (lossy serving accelerator)")
+    ap.add_argument("--queue_timeout_s", type=float, default=None,
+                    help="fail tasks that wait in the queue longer than this "
+                         "(per-request timeout_s overrides)")
     ap.add_argument("--mask_ctx_pad", action="store_true",
                     help="cross-attend only each prompt's valid tokens via "
                          "the kernel kv mask (deviates from the reference's "
@@ -107,7 +110,7 @@ def main():
         make_pipeline_backend(pipe, overrides), out_dir=args.out_dir,
         batch_backend=(make_pipeline_batch_backend(pipe, overrides)
                        if args.max_batch > 1 else None),
-        max_batch=args.max_batch)
+        max_batch=args.max_batch, queue_timeout_s=args.queue_timeout_s)
     attach_ui(server)
     print(f"serving on http://{args.host}:{args.port} (UI at /)")
     server.run(args.host, args.port)

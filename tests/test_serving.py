@@ -235,3 +235,133 @@ def test_per_step_progress_monotonic(progress_server):
     # at least one strictly-intermediate value was observable
     assert any(0.05 < p < 1.0 for p in seen), seen
     assert seen[-1] == 1.0
+
+
+# --- cancellation + timeouts (VERDICT r2 next #9) ---------------------------
+
+def _slow_backend_factory(hold: "threading.Event", started: "threading.Event"):
+    """Backend that signals start and blocks until released — simulates an
+    in-flight non-preemptible compiled step."""
+    def backend(task: Task, out_dir: str):
+        started.set()
+        hold.wait(timeout=30)
+        from dualforce_tpu.utils.av_io import save_video_with_audio
+
+        video = np.zeros((2, 16, 16, 3), np.uint8)
+        out = save_video_with_audio(f"{out_dir}/{task.task_id}.mp4", video,
+                                    np.zeros(100, np.float32), fps=24.0,
+                                    sample_rate=48000)
+        return {"file_path": out}
+    return backend
+
+
+def _spawn(srv):
+    """Start a VideoServer on an ephemeral port; returns (base_url, stop)."""
+    import asyncio
+
+    from aiohttp import web
+
+    runner = web.AppRunner(srv.app)
+    loop = asyncio.new_event_loop()
+    holder = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, "127.0.0.1", 0)
+        loop.run_until_complete(site.start())
+        holder["port"] = site._server.sockets[0].getsockname()[1]
+        loop.run_forever()
+
+    threading.Thread(target=run, daemon=True).start()
+    for _ in range(100):
+        if "port" in holder:
+            break
+        time.sleep(0.05)
+    return (f"http://127.0.0.1:{holder['port']}",
+            lambda: loop.call_soon_threadsafe(loop.stop))
+
+
+def test_cancel_queued_and_running(tmp_path):
+    hold, started = threading.Event(), threading.Event()
+    srv = VideoServer(_slow_backend_factory(hold, started),
+                      out_dir=str(tmp_path / "out"))
+    base, stop = _spawn(srv)
+    try:
+        client = VideoClient(base, timeout=10)
+        first = client.submit_video_task("running one", _png_bytes(),
+                                         size="32x32", num_frames=4)
+        assert started.wait(timeout=10)  # worker is inside the backend
+        second = client.submit_video_task("queued one", _png_bytes(),
+                                          size="32x32", num_frames=4)
+
+        # queued task cancels immediately
+        resp = client.cancel(second.task_id)
+        assert resp.status == "cancelled"
+        assert client.get_task(second.task_id).status == "cancelled"
+
+        # running task: flips to cancelling, resolves to cancelled once the
+        # in-flight step finishes, and its result is discarded
+        resp = client.cancel(first.task_id)
+        assert resp.status == "cancelling"
+        hold.set()
+        done = client.wait_for_completion(first.task_id, poll_interval=0.1,
+                                          timeout=20)
+        assert done.status == "cancelled"
+        assert done.download_url is None
+
+        # cancelling a terminal task is a 409
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            base + f"/v1/videos/{second.task_id}/cancel", data=b"",
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=5)
+        assert e.value.code == 409
+
+        # the cancelled queued task is never executed
+        time.sleep(0.3)
+        assert client.get_task(second.task_id).status == "cancelled"
+    finally:
+        hold.set()
+        stop()
+
+
+def test_queue_timeout(tmp_path):
+    """A task whose queue wait exceeds timeout_s fails as timed out — both
+    lazily on status reads and at worker pop."""
+    hold, started = threading.Event(), threading.Event()
+    srv = VideoServer(_slow_backend_factory(hold, started),
+                      out_dir=str(tmp_path / "out"), queue_timeout_s=600.0)
+    base, stop = _spawn(srv)
+    try:
+        client = VideoClient(base, timeout=10)
+        blocker = client.submit_video_task("blocker", _png_bytes(),
+                                           size="32x32", num_frames=4)
+        assert started.wait(timeout=10)
+        # per-request timeout overrides the server default
+        doomed = client.submit_video_task("doomed", _png_bytes(),
+                                          size="32x32", num_frames=4,
+                                          timeout_s=0.2)
+        time.sleep(0.4)
+        t = client.get_task(doomed.task_id)  # lazy expiry on read
+        assert t.status == "failed" and "timed out" in (t.error or "")
+        hold.set()
+        done = client.wait_for_completion(blocker.task_id, poll_interval=0.1,
+                                          timeout=20)
+        assert done.status == "completed"  # the running task is unaffected
+    finally:
+        hold.set()
+        stop()
+
+
+def test_cancelling_recovers_to_cancelled_on_restart(tmp_path):
+    """tasks.json with a 'cancelling' task: restart resolves it to cancelled
+    (the in-flight program died with the process)."""
+    out = str(tmp_path / "out")
+    srv1 = VideoServer(_fake_backend, out_dir=out)
+    srv1.store.add(Task(task_id="c1", status="cancelling", prompt="x"))
+    srv2 = VideoServer(_fake_backend, out_dir=out)
+    assert srv2.store.get("c1").status == "cancelled"

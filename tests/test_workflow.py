@@ -106,3 +106,17 @@ def test_ui_index_served(ui_server):
         html = r.read().decode()
     assert "DualForce-TPU Studio" in html
     assert "/workflow/full" in html
+
+
+def test_ui_has_cancel_and_artifact_gallery(ui_server):
+    """UI parity features (VERDICT r2 next #9): task cards wire a cancel
+    action and an inline artifact gallery (first-frame preview + labeled
+    idea/elements/rewritten-prompt sections)."""
+    import urllib.request
+
+    with urllib.request.urlopen(ui_server + "/", timeout=5) as r:
+        html = r.read().decode()
+    assert "cancelTask" in html and "/cancel" in html
+    assert "loadArtifacts" in html and "artifacts" in html
+    assert "Rewritten prompt" in html and "Extracted elements" in html
+    assert "<img" in html or "img src" in html
