@@ -37,6 +37,7 @@ previously fused into the transpose chain.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -361,7 +362,110 @@ def _bwd_dkv_kernel(*refs, bq: int, bk: int, masked: bool):
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(*refs, scale: float, bq: int, bk: int, masked: bool):
+    """One-pass backward: dk, dv AND dq from a single s/p/dp computation.
+
+    The split design re-derives s and dp in BOTH kernels — 14*d matmul
+    FLOPs per score element against 10*d useful (ceiling 71% of the forward's
+    efficiency; the measured 64% bwd MFU is exactly 0.82 fwd-efficiency x
+    10/14). Here dq accumulates across the sequential k dimension in a
+    WHOLE-ROW fp32 VMEM scratch [sq_p, d] (22 MB at 43k tokens), so the five
+    matmuls run once: s, dp, dv, dk, dq.
+
+    Grid (bn, nk, nq), qi minor; ki must be sequential ('arbitrary') for the
+    dq accumulation. The dq output block (b, qi) is revisited once per ki —
+    intermediate visits write back garbage that the final (ki == nk-1) visit
+    overwrites (grid order guarantees it is the last writeback); that wastes
+    nk-1 junk block writes of HBM bandwidth, ~1% of the kernel's traffic.
+
+    q pre-scaled by scale*log2e, lse by log2e (exp2 units), as in the split
+    kernels; dq finalizes with *scale, dk with *ln2."""
+    if masked:
+        (bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dq_ref, dk_acc, dv_acc, dq_sc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dq_ref, dk_acc, dv_acc, dq_sc) = refs
+        bias_ref = None
+    ki = pl.program_id(1)
+    nk = pl.num_programs(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init_kv():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]  # [bq, d] (pre-scaled)
+    k = k_ref[0]  # [bk, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+    if masked:
+        s = s + bias_ref[0, 0]
+    p = jnp.exp2(s - lse_ref[0, :, :1])  # [bq, bk]
+    do = do_ref[0]  # [bq, d]
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [bk, d]
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [bq, bk]
+    ds = p * (dp - delta_ref[0, :, :1])  # [bq, bk] f32
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_tile = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [bq, d]
+    rows = pl.ds(qi * bq, bq)
+
+    @pl.when(ki == 0)
+    def _dq_first():
+        dq_sc[rows, :] = dq_tile
+
+    @pl.when(ki > 0)
+    def _dq_acc():
+        dq_sc[rows, :] += dq_tile
+
+    @pl.when(qi == nq - 1)
+    def _fin_kv():
+        dk_ref[0] = (dk_acc[:] * LN2).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+    @pl.when(ki == nk - 1)
+    def _fin_q():
+        dq_ref[0] = (dq_sc[rows, :] * scale).astype(dq_ref.dtype)
+
+
+# dq whole-row scratch budget for the fused backward: sq_p*d*4 bytes must
+# leave room for the [bq,bk] fp32 intermediates and the kv accumulators
+# inside VMEM_LIMIT_BYTES. 48 MiB covers 43k-token 360p self-attention
+# (22 MB); 720p (176k tokens, 90 MB) falls back to the split kernels.
+_FUSED_DQ_SCRATCH_CAP = 48 * 1024 * 1024
+# "auto" routes scratch-fitting shapes to the fused kernel; "split" keeps the
+# two-kernel path; "fused" forces it. Default split until the fused kernel's
+# Mosaic compile + numerics are validated on a real chip
+# (tools/check_attn_tpu.py) — CPU tests run interpret mode only.
+_BWD_MODE = os.environ.get("DUALFORCE_FLASH_BWD", "split")
+
+
 def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int, dlse=None):
+    bn, sq, d = q.shape
+    bq_eff = min(bq, _BWD_BQ_CAP, _ceil_to(sq, 128))
+    sq_p = _ceil_to(sq, bq_eff)
+    fused_ok = sq_p * d * 4 <= _FUSED_DQ_SCRATCH_CAP
+    mode = _BWD_MODE
+    if mode == "fused" or (mode == "auto" and fused_ok):
+        return _bwd_fused(q, k, v, o, lse, do, kv_valid_len, bq, bk,
+                          dlse=dlse)
+    return _bwd_split(q, k, v, o, lse, do, kv_valid_len, bq, bk, dlse=dlse)
+
+
+def _bwd_prepare(q, k, v, o, lse, do, kv_valid_len, bq, bk, dlse):
+    """Shared bwd preprocessing: block sizing, delta, q/lse rescaling to exp2
+    units, padding, mask bias, lane-broadcast scalars."""
     bn, sq, d = q.shape
     sk = k.shape[1]
     # the bwd kernels hold more live tiles (do, lse, delta, two fp32 [bq,bk]
@@ -403,7 +507,68 @@ def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int, dlse=None):
     # TPU-legal lane layout for the per-row scalars
     lse = jnp.broadcast_to(lse[:, :, None], (bn, sq_p, 128))
     delta = jnp.broadcast_to(delta[:, :, None], (bn, sq_p, 128))
+    return (q, k, v, do, lse, delta, bias, scale, bq, bk, sq_p, sk_p,
+            masked, per_batch)
 
+
+def _bwd_fused(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int, dlse=None):
+    bn, sq, d = q.shape
+    sk = k.shape[1]
+    (q, k, v, do, lse, delta, bias, scale, bq, bk, sq_p, sk_p,
+     masked, per_batch) = _bwd_prepare(q, k, v, o, lse, do, kv_valid_len,
+                                       bq, bk, dlse)
+    bias_row = (lambda b: b) if per_batch else (lambda b: 0)
+    bias_specs = [pl.BlockSpec((1, 1, bk), lambda b, ki, qi, _r=bias_row: (_r(b), 0, ki))] if masked else []
+    bias_args = (bias,) if masked else ()
+
+    dk, dv, dq = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, scale=scale, bq=bq, bk=bk,
+                          masked=masked),
+        grid=(bn, sk_p // bk, sq_p // bq),
+        in_specs=bias_specs + [
+            pl.BlockSpec((1, bq, d), lambda b, ki, qi: (b, qi, 0)),   # q
+            pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),   # k
+            pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),   # v
+            pl.BlockSpec((1, bq, d), lambda b, ki, qi: (b, qi, 0)),   # do
+            pl.BlockSpec((1, bq, 128), lambda b, ki, qi: (b, qi, 0)),  # lse
+            pl.BlockSpec((1, bq, 128), lambda b, ki, qi: (b, qi, 0)),  # delta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),   # dk
+            pl.BlockSpec((1, bk, d), lambda b, ki, qi: (b, ki, 0)),   # dv
+            pl.BlockSpec((1, bq, d), lambda b, ki, qi: (b, qi, 0)),   # dq
+        ],
+        out_shape=[
+            _out_struct((bn, sk_p, d), k.dtype, q, k, v, do),
+            _out_struct((bn, sk_p, d), v.dtype, q, k, v, do),
+            _out_struct((bn, sq_p, d), q.dtype, q, k, v, do),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((sq_p, d), jnp.float32),   # whole-row dq accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # ki carries the dq accumulation -> sequential
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bn * sq_p * sk_p * d,
+            bytes_accessed=2 * bn * (3 * sq_p + 4 * sk_p) * d,
+            transcendentals=bn * sq_p * sk_p,
+        ),
+        interpret=_interpret(),
+    )(*bias_args, q, k, v, do, lse, delta)
+    return dq[:, :sq], dk[:, :sk], dv[:, :sk]
+
+
+def _bwd_split(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int, dlse=None):
+    bn, sq, d = q.shape
+    sk = k.shape[1]
+    (q, k, v, do, lse, delta, bias, scale, bq, bk, sq_p, sk_p,
+     masked, per_batch) = _bwd_prepare(q, k, v, o, lse, do, kv_valid_len,
+                                       bq, bk, dlse)
     bias_row = (lambda b: b) if per_batch else (lambda b: 0)
     dq_bias_specs = [pl.BlockSpec((1, 1, bk), lambda b, qi, ki, _r=bias_row: (_r(b), 0, ki))] if masked else []
     dkv_bias_specs = [pl.BlockSpec((1, 1, bk), lambda b, ki, qi, _r=bias_row: (_r(b), 0, ki))] if masked else []

@@ -176,3 +176,53 @@ def test_block_selection(s, want_bq, want_bk):
         assert s % bk == 0 and bk % 8 == 0
     if bq != 1024:
         assert s % bq == 0 and bq % 8 == 0
+
+
+@pytest.mark.parametrize("sq,sk,vlen", [
+    (256, 256, None),       # aligned
+    (300, 200, None),       # padded q and kv (pad-row poisoning both modes)
+    (256, 512, (100, 512)), # per-batch kv mask
+])
+def test_bwd_fused_matches_split(sq, sk, vlen):
+    """The one-pass fused backward (dk+dv+dq, whole-row dq scratch) must
+    match the split two-kernel backward bit-for-bit in intent (same math,
+    same precisions) — tight tolerance, both modes forced explicitly."""
+    from dualforce_tpu.ops import flash_attention as fa
+
+    b, n, d = 2, 1, 128
+    q, k, v = _rand(11, (b, sq, n, d)), _rand(12, (b, sk, n, d)), _rand(13, (b, sk, n, d))
+    kvl = None if vlen is None else jnp.asarray(vlen, jnp.int32)
+
+    def loss(q, k, v):
+        out = flash_attention(q, k, v, kv_valid_len=kvl,
+                              block_q=128, block_k=128)
+        return jnp.sum(out * jnp.cos(out.astype(jnp.float32)))
+
+    grads = {}
+    old = fa._BWD_MODE
+    try:
+        for mode in ("split", "fused"):
+            fa._BWD_MODE = mode
+            grads[mode] = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa._BWD_MODE = old
+    for gs, gf, name in zip(grads["split"], grads["fused"], "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gs),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"d{name} fused vs split")
+
+
+def test_bwd_fused_scratch_cap_falls_back():
+    """Sequences whose dq scratch would exceed the VMEM budget route to the
+    split kernels under mode=auto."""
+    from dualforce_tpu.ops import flash_attention as fa
+
+    d = 128
+    big_sq = (fa._FUSED_DQ_SCRATCH_CAP // (d * 4)) + 512
+    assert big_sq * d * 4 > fa._FUSED_DQ_SCRATCH_CAP
+    # decision logic only (a real array that size would be slow on CPU)
+    sq_p = fa._ceil_to(big_sq, min(fa.DEFAULT_BQ, fa._BWD_BQ_CAP))
+    assert sq_p * d * 4 > fa._FUSED_DQ_SCRATCH_CAP  # -> split
+    small_sq = 43120
+    sq_p = fa._ceil_to(small_sq, min(fa.DEFAULT_BQ, fa._BWD_BQ_CAP))
+    assert sq_p * d * 4 <= fa._FUSED_DQ_SCRATCH_CAP  # 360p -> fused
