@@ -94,9 +94,18 @@ class VideoAudioDataset:
             wav = os.path.join(path, "audio.wav")
             audio = _load_wav(wav, self.sample_rate) if os.path.exists(wav) else None
             return frames, audio, self.sample_rate, self.fps
+        if path.lower().endswith(".avi"):
+            # MJPEG-AVI decodes in-image (pure python + PIL, utils/av_io.py)
+            # — the one REAL video container the training path can ingest
+            # without an external decoder
+            from dualforce_tpu.utils.av_io import read_mjpeg_avi
+
+            video, audio, sr, clip_fps = read_mjpeg_avi(path)
+            return list(video), audio, sr, clip_fps
         raise ValueError(
-            f"unsupported media {path!r}: use .npz clip shards or frame dirs "
-            "(no video decoder in this environment; see tools/preprocess_clips.py)")
+            f"unsupported media {path!r}: use .npz clip shards, MJPEG .avi, "
+            "or frame dirs (no mp4/h264 decoder in this environment; see "
+            "tools/preprocess_clips.py)")
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         item = self.items[idx]

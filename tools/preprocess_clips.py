@@ -1,7 +1,9 @@
 """Preprocess raw media into .npz clip shards for VideoAudioDataset.
 
-Run this where a video decoder exists (ffmpeg binary or PyAV); the training
-environment then needs no codecs. Output per clip:
+Run this where a video decoder exists (ffmpeg binary or PyAV) — except
+MJPEG .avi sources, which decode in-image (pure python + PIL via
+utils/av_io.py, no ffmpeg needed). The training environment then needs no
+codecs. Output per clip:
   {video: [T, H, W, 3] uint8, audio: [S] float32, fps: float, sr: int}
 plus an updated metadata.json next to the shards.
 
@@ -45,6 +47,34 @@ def decode_with_ffmpeg(path: str, height: int, width: int, num_frames: int,
     return video, audio
 
 
+def decode_mjpeg_avi(path: str, height: int, width: int, num_frames: int,
+                     fps: float, sr: int):
+    """In-image decode for MJPEG .avi (utils/av_io.py): no ffmpeg needed.
+    Frame-rate-converts by nearest-frame sampling and center-crop-resizes
+    with the same policy the dataset uses."""
+    from dualforce_tpu.data import native
+    from dualforce_tpu.data.dataset import _resample_f32
+    from dualforce_tpu.utils.av_io import read_mjpeg_avi
+
+    video, audio, src_sr, src_fps = read_mjpeg_avi(path)
+    if abs(src_fps - fps) > 1e-3:
+        idx = np.clip(np.round(np.arange(num_frames) * src_fps / fps), 0,
+                      len(video) - 1).astype(int)
+        video = video[idx]
+    else:
+        video = video[:num_frames]
+    # native path expects uint8 [T,H,W,3]; output is float [-1,1] — convert
+    # back to uint8 for the shard (dataset re-normalizes at load)
+    norm = native.resize_crop_normalize(np.ascontiguousarray(video),
+                                        height, width)
+    video = ((norm + 1.0) * 127.5).round().clip(0, 255).astype(np.uint8)
+    if audio is None:
+        audio = np.zeros(0, np.float32)
+    else:
+        audio = _resample_f32(audio.astype(np.float32), src_sr, sr)
+    return video, audio
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="metadata.json of raw clips")
@@ -55,9 +85,6 @@ def main():
     ap.add_argument("--fps", type=float, default=24.0)
     ap.add_argument("--sr", type=int, default=48000)
     args = ap.parse_args()
-
-    if shutil.which("ffmpeg") is None:
-        sys.exit("ffmpeg not found — run preprocessing on a machine with ffmpeg")
 
     with open(args.input) as f:
         items = json.load(f)
@@ -71,10 +98,22 @@ def main():
         if not os.path.isabs(src):
             src = os.path.join(root, src)
         try:
-            video, audio = decode_with_ffmpeg(
-                src, args.height, args.width, args.num_frames, args.fps, args.sr)
+            if src.lower().endswith(".avi"):
+                video, audio = decode_mjpeg_avi(
+                    src, args.height, args.width, args.num_frames, args.fps,
+                    args.sr)
+            else:
+                if shutil.which("ffmpeg") is None:
+                    sys.exit("ffmpeg not found — MJPEG .avi decodes in-image; "
+                             "other containers need ffmpeg")
+                video, audio = decode_with_ffmpeg(
+                    src, args.height, args.width, args.num_frames, args.fps,
+                    args.sr)
         except subprocess.CalledProcessError as e:
             print(f"[skip] {src}: {e.stderr.decode()[:200]}")
+            continue
+        except (ValueError, OSError) as e:
+            print(f"[skip] {src}: {e}")
             continue
         if video.shape[0] < args.num_frames:
             pad = np.repeat(video[-1:], args.num_frames - video.shape[0], axis=0)
