@@ -335,6 +335,14 @@ def main():
     # --- measured VAE decode (the second hot spot) -------------------------
     vae_decode_s = dac_decode_s = None
     if on_tpu and not small and not fast_mode:
+        # free every earlier phase's HBM first: the deep fp8 tree, the int8
+        # tree, and all retained outputs together otherwise OOM the chip
+        # before the decoder's own intermediates (seen live: r3 headline run)
+        import gc
+
+        params = params_d = params_q = out = out_d = out_q = ref = None
+        gc.collect()
+
         from dualforce_tpu.config import mova_360p
         from dualforce_tpu.models import dac_vae, wan_vae
 
