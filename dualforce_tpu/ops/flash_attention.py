@@ -445,10 +445,13 @@ def _bwd_fused_kernel(*refs, scale: float, bq: int, bk: int, masked: bool):
 # (22 MB); 720p (176k tokens, 90 MB) falls back to the split kernels.
 _FUSED_DQ_SCRATCH_CAP = 48 * 1024 * 1024
 # "auto" routes scratch-fitting shapes to the fused kernel; "split" keeps the
-# two-kernel path; "fused" forces it. Default split until the fused kernel's
-# Mosaic compile + numerics are validated on a real chip
-# (tools/check_attn_tpu.py) — CPU tests run interpret mode only.
-_BWD_MODE = os.environ.get("DUALFORCE_FLASH_BWD", "split")
+# two-kernel path; "fused" forces it. Default auto: the fused kernel is
+# numerics-validated on a real v5e across all MOVA shapes
+# (tools/check_attn_tpu.py) and 1.23x faster at the 360p self-attn geometry
+# (149.7 vs 121.7 TF/s value-and-grad, tools/bench_attn_bwd.py); shapes
+# whose dq scratch exceeds _FUSED_DQ_SCRATCH_CAP (720p 176k tokens) still
+# take the split path under auto.
+_BWD_MODE = os.environ.get("DUALFORCE_FLASH_BWD", "auto")
 
 
 def _bwd(q, k, v, o, lse, do, kv_valid_len, bq: int, bk: int, dlse=None):
