@@ -72,13 +72,20 @@ class MOVAPipeline:
     def __init__(self, cfg: MOVAConfig, params: Dict[str, Any], tokenizer=None,
                  compute_dtype=jnp.bfloat16, attn_impl: str = "auto",
                  offload: str = "none", mesh=None, quantize: str = "none",
-                 mask_ctx_pad: bool = False):
-        """offload: "none" (weights HBM-resident, the TPU-native default) or
+                 mask_ctx_pad: bool = False, offload_group_size: int = 8):
+        """offload: "none" (weights HBM-resident, the TPU-native default),
         "component" — the escape hatch for chips whose HBM can't hold the
         full pipeline (reference's enable_model_cpu_offload +
         remove_video_dit, inference_single.py:81-97): params stay on host,
         each module is staged to HBM for its phase and freed after, and the
-        two video experts are never device-resident simultaneously.
+        two video experts are never device-resident simultaneously —
+        or "group": layerwise group streaming (the reference's `--offload
+        group`, README "Layerwise (group offload)" 12 GB-VRAM row). Beyond
+        component offload, the ACTIVE tower's blocks also stay in host RAM;
+        each denoise pass streams them through HBM `offload_group_size`
+        layers at a time, double-buffered (diffusion/streamed.py). This is
+        what fits flagship 720p inference on one 16 GB v5e: weights alone
+        (14 GB fp8) leave no room for 176k-token activations.
 
         quantize: "none" or "int8" — int8 pre-quantizes the DiT/bridge
         projection kernels (w8a8 on the MXU, per-out-channel weight scales +
@@ -92,7 +99,7 @@ class MOVAPipeline:
 
             towers = {k for k in ("video_dit", "video_dit_2", "audio_dit",
                                   "bridge") if params.get(k) is not None}
-            if offload == "component":
+            if offload != "none":
                 # Quantize one tower at a time and pull it straight to host:
                 # quantizing everything first would hold every expert's int8
                 # kernels in HBM simultaneously — the exact peak component
@@ -113,9 +120,15 @@ class MOVAPipeline:
         self.tokenizer = tokenizer
         self.compute_dtype = compute_dtype
         self.attn_impl = attn_impl
-        if offload not in ("none", "component"):
+        if offload not in ("none", "component", "group"):
             raise ValueError(f"unknown offload mode {offload!r}")
         self.offload = offload
+        self.offload_group_size = int(offload_group_size)
+        if offload == "group" and mesh is not None and \
+                getattr(mesh, "shape", {}).get("cp", 1) > 1:
+            raise ValueError("offload='group' is a single-chip escape hatch; "
+                             "use cp/fsdp sharding instead of offload on a "
+                             "multi-chip mesh")
         # mask_ctx_pad: cross-attend only each prompt's valid tokens via the
         # kernel's per-batch kv mask instead of the reference's attend-the-
         # zero-pads semantics (wan_video_dit.py:232-245). OPT-IN: changes
@@ -542,6 +555,28 @@ class MOVAPipeline:
         n = plan.num_steps
         split = plan.boundary_step if self.params.get("video_dit_2") is not None else n
         phases = [("video_dit", 0, split), ("video_dit_2", split, n)]
+        if self.offload == "group":
+            # layerwise group streaming: not even the active tower's blocks
+            # are fully HBM-resident (reference --offload group)
+            from dualforce_tpu.diffusion.streamed import denoise_streamed
+
+            for tower, start, stop in phases:
+                if stop <= start:
+                    continue
+                latents, audio_latents = denoise_streamed(
+                    self.params[tower], self.params["audio_dit"],
+                    self.params["bridge"], self.cfg,
+                    latents, condition, audio_latents, ctx_pos, ctx_neg,
+                    plan, start, stop,
+                    group_size=self.offload_group_size,
+                    cfg_scale=cfg_scale, video_fps=video_fps,
+                    cfg_batch=cfg_batch, compute_dtype=self.compute_dtype,
+                    attn_impl=self.attn_impl, rope_pack=rope_pack,
+                    cfg_cache_interval=cfg_cache_interval,
+                    cfg_scale_bridge=cfg_scale_bridge,
+                    ctx_len_pos=ctx_len_pos, ctx_len_neg=ctx_len_neg,
+                    progress_fn=self._progress_fn)
+            return latents, audio_latents
         with self._staged("audio_dit", "bridge") as shared:
             for tower, start, stop in phases:
                 if stop <= start:

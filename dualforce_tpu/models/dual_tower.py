@@ -54,14 +54,23 @@ def forward_dual_tower(
     sp_audio_valid: Optional[int] = None,
     video_grid=None,
     layer_param_map=None,
+    shared_layers: Optional[int] = None,
+    interact_override: Optional[list] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """layer_param_map(kind, tree): optional per-layer param transform
     applied to each layer's sliced params inside the scan body — the
     sequence-parallel path injects the explicit ZeRO-3 all-gather here
     (weights stay fsdp-sharded in HBM; one layer is gathered at a time and
-    freed after use, re-gathered in the remat backward)."""
-    min_layers = bcfg.min_layers
-    interact = bcfg.interaction_layers()
+    freed after use, re-gathered in the remat backward).
+
+    shared_layers/interact_override: run a SLICE of the stack — the group
+    streamed-offload path (diffusion/streamed.py) calls this per layer group
+    with `shared_layers` = the group's shared depth and `interact_override` =
+    the group-LOCAL indices of interacting layers (indices into the passed
+    bridge stacks). Defaults recover the full-stack behavior from bcfg."""
+    min_layers = bcfg.min_layers if shared_layers is None else shared_layers
+    interact = (bcfg.interaction_layers() if interact_override is None
+                else list(interact_override))
     visual_x = constrain(visual_x, "video_tokens")
     audio_x = constrain(audio_x, "audio_tokens")
     vis_freqs = cross_rope[0] if cross_rope is not None else None

@@ -2,10 +2,12 @@
 
 Flag-for-flag counterpart of the reference scripts/inference_single.py:24-46.
 TPU notes: the default memory strategy is HBM-resident weights (GSPMD-sharded
-when cp_size/fsdp_size > 1). `--offload cpu/group/component` enables real
+when cp_size/fsdp_size > 1). `--offload cpu/component` enables real
 component-wise host staging (params live on host; each module moves to HBM
-for its phase; the two video experts never coexist on device) — the escape
-hatch for chips whose HBM can't hold the pipeline. `--cp_size` builds a cp
+for its phase; the two video experts never coexist on device); `--offload
+group` further streams the active tower's blocks through HBM in layer groups
+(diffusion/streamed.py) — the smallest-footprint escape hatch, fitting
+flagship 720p on a single 16 GB chip. `--cp_size` builds a cp
 mesh axis; attention runs sequence-parallel over ICI instead of torchrun+NCCL.
 """
 
@@ -47,8 +49,13 @@ def parse_args():
                    choices=["auto", "fast", "sage", "pallas", "ref"])
     p.add_argument("--offload", type=str, default="none",
                    choices=["none", "cpu", "group", "component"],
-                   help="component-wise host staging (cpu/group map to "
-                        "'component'); default keeps weights HBM-resident")
+                   help="host staging: 'cpu'/'component' stage whole modules "
+                        "per phase; 'group' additionally streams the active "
+                        "tower's blocks through HBM in layer groups (the "
+                        "smallest-footprint mode — fits flagship 720p on one "
+                        "16 GB chip); default keeps weights HBM-resident")
+    p.add_argument("--offload_group_size", type=int, default=8,
+                   help="with --offload group: DiT layers per streamed group")
     p.add_argument("--offload_to_disk_path", type=str, default=None,
                    metavar="DIR",
                    help="with --offload: keep params as disk-backed memmaps "
@@ -107,13 +114,11 @@ def main():
     from dualforce_tpu.utils.av_io import save_video_with_audio
     from dualforce_tpu.utils.misc import device_timer, hbm_in_use_gb, profile_trace
 
-    # "cpu"/"group" map to component-wise staging: params stay on host, each
-    # module is staged to HBM for its phase, the two 14B experts never
-    # coexist on device (reference offload modes, inference_single.py:81-97)
-    offload = "component" if args.offload in ("cpu", "group", "component") else "none"
-    if args.offload == "group":
-        print("[info] --offload group: using component-wise staging "
-              "(layerwise streaming is subsumed by fsdp sharding on TPU)")
+    # "cpu" maps to component-wise staging: params stay on host, each module
+    # is staged to HBM for its phase, the two 14B experts never coexist on
+    # device. "group" additionally streams the active tower's blocks in
+    # layer groups (reference offload modes, inference_single.py:81-97).
+    offload = {"cpu": "component"}.get(args.offload, args.offload)
 
     import jax.numpy as jnp
 
@@ -162,7 +167,8 @@ def main():
 
     pipe = MOVAPipeline(cfg, params, tokenizer=tokenizer, attn_impl=args.attn_type,
                         offload=offload, mesh=mesh, quantize=args.quantize,
-                        mask_ctx_pad=args.mask_ctx_pad)
+                        mask_ctx_pad=args.mask_ctx_pad,
+                        offload_group_size=args.offload_group_size)
 
     image = Image.open(args.ref_path).convert("RGB")
     image = crop_and_resize(image, args.height, args.width)

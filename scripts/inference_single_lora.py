@@ -50,8 +50,12 @@ def parse_args():
                    choices=["auto", "fast", "sage", "pallas", "ref"])
     p.add_argument("--offload", type=str, default="none",
                    choices=["none", "cpu", "group", "component"],
-                   help="component-wise host staging (cpu/group map to "
-                        "'component'); default keeps weights HBM-resident")
+                   help="host staging: 'cpu'/'component' stage whole modules "
+                        "per phase; 'group' additionally streams the active "
+                        "tower's blocks in layer groups; default keeps "
+                        "weights HBM-resident")
+    p.add_argument("--offload_group_size", type=int, default=8,
+                   help="with --offload group: DiT layers per streamed group")
     p.add_argument("--weight_dtype", type=str, default="bf16",
                    choices=["bf16", "fp8"],
                    help="fp8 stores matmul kernels as float8_e4m3 AFTER the "
@@ -87,8 +91,7 @@ def main():
     from dualforce_tpu.parallel.sharding import shard_params
     from dualforce_tpu.utils.av_io import save_video_with_audio
 
-    offload = ("component" if args.offload in ("cpu", "group", "component")
-               else "none")
+    offload = {"cpu": "component"}.get(args.offload, args.offload)
     cfg = config_from_checkpoint(args.base_model)
     params = load_pipeline_params(args.base_model, cfg,
                                   to_device=(offload == "none"))
@@ -148,7 +151,8 @@ def main():
 
     pipe = MOVAPipeline(cfg, params, tokenizer=load_tokenizer(args.base_model),
                         mesh=mesh, attn_impl=args.attn_type, offload=offload,
-                        quantize=args.quantize)
+                        quantize=args.quantize,
+                        offload_group_size=args.offload_group_size)
     image = crop_and_resize(Image.open(args.ref_path).convert("RGB"),
                             args.height, args.width)
     result = pipe(

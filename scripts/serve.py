@@ -39,9 +39,13 @@ def main():
                          "14B experts fit one 16 GB chip's HBM (bf16 needs "
                          "--fsdp_size or --offload)")
     ap.add_argument("--offload", type=str, default="none",
-                    choices=["none", "component"],
+                    choices=["none", "component", "group"],
                     help="host-resident params, modules staged to HBM per "
-                         "phase (single-chip escape hatch)")
+                         "phase (single-chip escape hatch); 'group' also "
+                         "streams the active tower's blocks in layer groups "
+                         "(smallest footprint, fits 720p on 16 GB)")
+    ap.add_argument("--offload_group_size", type=int, default=8,
+                    help="with --offload group: DiT layers per streamed group")
     ap.add_argument("--cfg_cache_interval", type=int, default=1,
                     help="recompute the CFG negative pass every N steps and "
                          "reuse it in between (measured 1.43x loop speedup "
@@ -94,7 +98,8 @@ def main():
     pipe = MOVAPipeline(cfg, params, tokenizer=load_tokenizer(args.ckpt_path),
                         attn_impl=args.attn_type, mesh=mesh,
                         quantize=args.quantize, offload=args.offload,
-                        mask_ctx_pad=args.mask_ctx_pad)
+                        mask_ctx_pad=args.mask_ctx_pad,
+                        offload_group_size=args.offload_group_size)
     if args.warmup:
         w, h, frames, steps = (int(x) for x in args.warmup.split("x"))
         # batching makes group sizes 1..max_batch possible; warm the common ones

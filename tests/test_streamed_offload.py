@@ -1,0 +1,140 @@
+"""Layerwise group-streamed offload (reference `--offload group`,
+README.md "Layerwise (group offload)" row): the streamed denoise must be
+numerically equivalent to the resident path — same layer body, same order —
+across group sizes, CFG modes, and interaction strategies.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dualforce_tpu.config import tiny_test_config
+from dualforce_tpu.diffusion.pipeline import MOVAPipeline
+from dualforce_tpu.diffusion.sampler import build_plan, denoise_loop
+from dualforce_tpu.diffusion.streamed import denoise_streamed, plan_groups
+from dualforce_tpu.models.factory import init_pipeline_params
+from test_pipeline_e2e import FakeTokenizer
+
+
+def test_plan_groups_partitioning():
+    cfg = tiny_test_config(visual_layers=5, audio_layers=3)
+    specs = plan_groups(cfg.bridge, 5, 2)
+    # shared depth 3 -> groups (0,2),(2,3); tail -> (3,5)
+    assert [s["v"] for s in specs] == [(0, 2), (2, 3), (3, 5)]
+    assert [s["shared"] for s in specs] == [2, 1, 0]
+    assert specs[0]["interact"] == (0, 1) and specs[0]["b"] == (0, 2)
+    assert specs[1]["interact"] == (0,) and specs[1]["b"] == (2, 3)
+    assert specs[2]["interact"] == () and specs[2]["b"] == (0, 0)
+    # tail groups carry no audio layers
+    assert specs[2]["a"] == (3, 3)
+
+
+def test_plan_groups_sparse_interaction():
+    cfg = tiny_test_config(visual_layers=7, audio_layers=6,
+                           interaction_strategy="distributed")
+    # interact = [0, 3] within shared depth 6
+    specs = plan_groups(cfg.bridge, 7, 4)
+    assert [s["v"] for s in specs] == [(0, 4), (4, 6), (6, 7)]
+    assert specs[0]["interact"] == (0, 3) and specs[0]["b"] == (0, 2)
+    assert specs[1]["interact"] == () and specs[1]["b"] == (0, 0)
+
+
+def _setup(visual_layers=5, audio_layers=3, strategy="full"):
+    cfg = tiny_test_config(visual_layers=visual_layers,
+                           audio_layers=audio_layers,
+                           interaction_strategy=strategy)
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg,
+                                  with_vaes=False, with_text=False,
+                                  two_video_towers=False)
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    b, F, lh, lw = 1, 3, 8, 8
+    latents = jax.random.normal(ks[0], (b, 16, F, lh, lw), jnp.float32)
+    condition = jax.random.normal(ks[1], (b, 20, F, lh, lw), jnp.float32)
+    audio = jax.random.normal(ks[2], (b, cfg.audio_dit.in_dim, 25), jnp.float32)
+    ctx_pos = jax.random.normal(ks[3], (b, 16, cfg.video_dit.text_dim), jnp.float32)
+    ctx_neg = jax.random.normal(ks[4], (b, 16, cfg.video_dit.text_dim), jnp.float32)
+    from dualforce_tpu.diffusion.flow_match import FlowMatchPairScheduler
+
+    sched = FlowMatchPairScheduler(cfg.scheduler)
+    sched.set_timesteps(4, shift=5.0)
+    plan = build_plan(sched, boundary_ratio=0.0)
+    return cfg, params, plan, (latents, condition, audio, ctx_pos, ctx_neg)
+
+
+def _run_resident(cfg, params, plan, data, **kw):
+    latents, condition, audio, ctx_pos, ctx_neg = data
+    return denoise_loop(
+        params["video_dit"], None, params["audio_dit"], params["bridge"],
+        cfg, latents, condition, audio, ctx_pos, ctx_neg, plan,
+        compute_dtype=jnp.float32, attn_impl="ref", **kw)
+
+
+def _run_streamed(cfg, params, plan, data, group_size=2, **kw):
+    latents, condition, audio, ctx_pos, ctx_neg = data
+    return denoise_streamed(
+        params["video_dit"], params["audio_dit"], params["bridge"],
+        cfg, latents, condition, audio, ctx_pos, ctx_neg, plan,
+        0, plan.num_steps, group_size=group_size,
+        compute_dtype=jnp.float32, attn_impl="ref", **kw)
+
+
+@pytest.mark.parametrize("group_size", [1, 2, 100])
+def test_streamed_equals_resident(group_size):
+    cfg, params, plan, data = _setup()
+    lat_r, alat_r = _run_resident(cfg, params, plan, data, cfg_scale=4.0)
+    lat_s, alat_s = _run_streamed(cfg, params, plan, data,
+                                  group_size=group_size, cfg_scale=4.0)
+    np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(alat_s), np.asarray(alat_r),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_streamed_cfg_modes_match():
+    cfg, params, plan, data = _setup()
+    for kw in (dict(cfg_scale=4.0, cfg_batch=True),
+               dict(cfg_scale=4.0, cfg_cache_interval=2),
+               dict(cfg_scale=1.0),
+               dict(cfg_scale=4.0, cfg_scale_bridge=1.5)):
+        lat_r, alat_r = _run_resident(cfg, params, plan, data, **kw)
+        lat_s, alat_s = _run_streamed(cfg, params, plan, data, **kw)
+        np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_r),
+                                   rtol=2e-5, atol=2e-5, err_msg=str(kw))
+        np.testing.assert_allclose(np.asarray(alat_s), np.asarray(alat_r),
+                                   rtol=2e-5, atol=2e-5, err_msg=str(kw))
+
+
+def test_streamed_sparse_interaction_matches():
+    """Non-"full" strategies exercise the per-layer general path with
+    group-local bridge index remapping."""
+    cfg, params, plan, data = _setup(visual_layers=7, audio_layers=6,
+                                     strategy="distributed")
+    lat_r, alat_r = _run_resident(cfg, params, plan, data, cfg_scale=4.0)
+    lat_s, alat_s = _run_streamed(cfg, params, plan, data, group_size=4,
+                                  cfg_scale=4.0)
+    np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(alat_s), np.asarray(alat_r),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_generate_group_offload():
+    """Full generate() under offload='group' equals offload='none' (both
+    towers, expert switch, CFG)."""
+    cfg = tiny_test_config()
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+    host_params = jax.tree.map(np.asarray, params)
+    image = np.random.default_rng(0).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    kw = dict(seed=11, height=32, width=32, num_frames=5,
+              num_inference_steps=3, cfg_scale=5.0)
+    r_none = MOVAPipeline(cfg, params, tokenizer=FakeTokenizer(),
+                          compute_dtype=jnp.float32, attn_impl="ref")(
+        "a cat", image, **kw)
+    r_group = MOVAPipeline(cfg, host_params, tokenizer=FakeTokenizer(),
+                           compute_dtype=jnp.float32, attn_impl="ref",
+                           offload="group", offload_group_size=1)(
+        "a cat", image, **kw)
+    assert np.mean(np.abs(r_group.video.astype(int) -
+                          r_none.video.astype(int))) < 1.0
+    np.testing.assert_allclose(r_group.audio, r_none.audio, atol=1e-4)
