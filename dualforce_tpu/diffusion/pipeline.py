@@ -192,9 +192,13 @@ class MOVAPipeline:
         try:
             yield {**self.params, **staged}
         finally:
-            for tree in staged.values():
-                for leaf in jax.tree.leaves(tree):
-                    if hasattr(leaf, "delete"):
+            for n, tree in staged.items():
+                # device_put is a no-op when the master already lives on the
+                # target device (e.g. CPU-only runs) — deleting the "staged"
+                # leaf would then destroy the master copy
+                masters = jax.tree.leaves(self.params[n])
+                for leaf, master in zip(jax.tree.leaves(tree), masters):
+                    if leaf is not master and hasattr(leaf, "delete"):
                         leaf.delete()
 
     # --- text ---------------------------------------------------------------

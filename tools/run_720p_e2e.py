@@ -1,0 +1,231 @@
+"""Flagship-scale 720p end-to-end generation on ONE 16 GB v5e.
+
+Drives the FULL production pipeline — UMT5 prompt encode, streaming Wan-VAE
+ENCODE of the reference frame (prepare_latents), the dual-expert denoise
+loop under layerwise group-streamed offload (fp8 weight storage, the
+reference's `--offload group` 12 GB-VRAM mode), streaming Wan-VAE decode,
+DAC decode, and the mp4+audio mux — at the reference's shipped 720p recipe
+geometry (1280x720, 193 frames @ 24 fps; /root/reference/README.md:96-107).
+
+No released MOVA checkpoint exists in this environment, so the weights are
+SYNTHETIC: the exact flagship pytree (38.8B params: 2x14.3B video experts,
+1.4B audio tower, 2.7B bridge, 5.7B UMT5-xxl) is materialized on host from
+`jax.eval_shape` over the real initializers, filled at memcpy speed from a
+random pool with init-correct per-leaf rules (ones for norm gamma/scale and
+snake alpha, zeros for bias, fan-in-scaled noise for kernels), and stored
+with the same fp8 storage rule the checkpoint loader applies
+(nn.cast_tree_fp8: floating ndim>=2 -> e4m3, rest bf16 — see
+convert/load_checkpoint.py:336-344). Everything DOWNSTREAM of weight
+loading is the production code path, byte-for-byte the same programs a real
+checkpoint would run; outputs are noise but every shape, transfer, compile
+and kernel is the real 720p workload.
+
+Usage:
+    python tools/run_720p_e2e.py --steps 8 --output out/720p_e2e.mp4
+    python tools/run_720p_e2e.py --dry        # tiny-config CPU smoke run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import numpy as np
+
+
+def build_tokenizer(vocab_size: int):
+    """In-process whitespace tokenizer (same construction as
+    tools/make_tiny_checkpoint.py) — prompt text -> ids for UMT5."""
+    from tokenizers import Tokenizer
+    from tokenizers import models as tok_models
+    from tokenizers import pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    vocab = {"<pad>": 0, "</s>": 1, "<unk>": 2}
+    vocab.update({f"tok{i}": 3 + i for i in range(min(vocab_size, 4096) - 3)})
+    wl = Tokenizer(tok_models.WordLevel(vocab, unk_token="<unk>"))
+    wl.pre_tokenizer = pre_tokenizers.Whitespace()
+    return PreTrainedTokenizerFast(tokenizer_object=wl, pad_token="<pad>",
+                                   eos_token="</s>", unk_token="<unk>")
+
+
+def synthesize_params(cfg, *, fp8: bool, log=print):
+    """Materialize the flagship param pytree on HOST with init-correct
+    per-leaf fill rules, at the storage dtypes the fp8 checkpoint-load path
+    produces. Returns a dict of module pytrees of jax CPU arrays."""
+    import jax
+    import jax.numpy as jnp
+    from jax.tree_util import keystr, tree_flatten_with_path, tree_unflatten
+
+    from dualforce_tpu.models.factory import init_pipeline_params
+
+    cpu = jax.devices("cpu")[0]
+    shapes = jax.eval_shape(
+        lambda k: init_pipeline_params(k, cfg, dtype=jnp.bfloat16),
+        jax.random.PRNGKey(0))
+
+    POOL = 1 << 22  # 4M-float pool; leaves tile it from distinct offsets
+
+    def _fill(pool, shape, dtype, std, offset):
+        n = math.prod(shape)
+        reps = -(-(n + POOL) // POOL)
+        v = jnp.tile(pool, reps)
+        v = jax.lax.dynamic_slice(v, (offset,), (n,))
+        return (v.reshape(shape) * std).astype(dtype)
+
+    fill = jax.jit(_fill, static_argnums=(1, 2))
+    # storage rule == nn.cast_tree_fp8 (load_checkpoint.py:336-344): in the
+    # tower modules floating ndim>=2 leaves go fp8, the rest bf16; VAEs f32.
+    towers = ("video_dit", "video_dit_2", "audio_dit", "bridge",
+              "text_encoder")
+
+    out = {}
+    with jax.default_device(cpu):
+        pool = jax.random.normal(jax.random.PRNGKey(7), (POOL,),
+                                 dtype=jnp.float32)
+        pool.block_until_ready()
+        for mod, sub in shapes.items():
+            t0 = time.time()
+            leaves, treedef = tree_flatten_with_path(sub)
+            vals = []
+            for i, (path, leaf) in enumerate(leaves):
+                kind = keystr(path).rsplit("'", 2)[-2]
+                if mod in towers:
+                    dtype = (jnp.float8_e4m3fn
+                             if fp8 and leaf.ndim >= 2 else jnp.bfloat16)
+                else:
+                    dtype = jnp.float32  # VAEs: decode-precision parity
+                if kind in ("gamma", "scale", "alpha"):
+                    std, base = 0.0, 1.0
+                elif kind == "bias":
+                    std, base = 0.0, 0.0
+                elif kind == "kernel" and leaf.ndim >= 2:
+                    std, base = 1.0 / math.sqrt(leaf.shape[-2]), 0.0
+                else:  # embed / modulation / rel_bias
+                    std, base = 0.02, 0.0
+                off = (i * 997 + sum(map(ord, mod))) % POOL
+                v = fill(pool, tuple(leaf.shape), np.dtype(dtype),
+                         jnp.float32(std), jnp.int32(off))
+                if base:
+                    v = jnp.full(leaf.shape, base, dtype)
+                vals.append(v)
+            sub_t = tree_unflatten(treedef, vals)
+            # hand the pipeline HOST numpy arrays — the same contract
+            # load_pipeline_params(to_device=False) produces for offload mode
+            sub_t = jax.tree.map(lambda x: np.asarray(x), sub_t)
+            n = sum(l.size for _, l in leaves)
+            log(f"[synth] {mod}: {n/1e9:.2f}B params in {time.time()-t0:.1f}s")
+            out[mod] = sub_t
+    return out
+
+
+def make_reference_frame(height: int, width: int) -> np.ndarray:
+    """Deterministic smooth test card in [-1, 1], [H, W, 3]."""
+    y = np.linspace(-1, 1, height, dtype=np.float32)[:, None]
+    x = np.linspace(-1, 1, width, dtype=np.float32)[None, :]
+    r = np.sin(3.0 * x) * np.cos(2.0 * y)
+    g = np.cos(4.0 * x * y)
+    b = np.sin(2.0 * x + 3.0 * y)
+    return np.stack([r, g, b], axis=-1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--num_frames", type=int, default=193)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--cfg_cache_interval", type=int, default=3)
+    ap.add_argument("--group_size", type=int, default=4)
+    ap.add_argument("--attn_type", type=str, default="auto")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--output", type=str, default="out/720p_e2e.mp4")
+    ap.add_argument("--dry", action="store_true",
+                    help="tiny config on CPU — code-path smoke test")
+    args = ap.parse_args()
+
+    if args.dry:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from dualforce_tpu.config import MOVAConfig
+    from dualforce_tpu.diffusion.pipeline import MOVAPipeline
+    from dualforce_tpu.utils.av_io import save_video_with_audio
+    from dualforce_tpu.utils.misc import hbm_in_use_gb
+
+    if args.dry:
+        from dualforce_tpu.config import tiny_test_config
+
+        cfg = tiny_test_config()
+        args.height, args.width = 64, 64
+        args.num_frames, args.steps = 9, 2
+        args.group_size = 1
+    else:
+        cfg = MOVAConfig()  # constructor defaults = flagship geometry
+
+    timings = {}
+    t0 = time.time()
+    params = synthesize_params(cfg, fp8=not args.dry)
+    timings["synthesize_params_s"] = round(time.time() - t0, 1)
+    host_gb = sum(l.size * l.dtype.itemsize
+                  for l in jax.tree.leaves(params)) / 2**30
+    print(f"[e2e] host-resident params: {host_gb:.1f} GiB "
+          f"({timings['synthesize_params_s']}s)")
+
+    tok = build_tokenizer(cfg.text_encoder.vocab_size)
+    pipe = MOVAPipeline(cfg, params, tokenizer=tok,
+                        attn_impl=args.attn_type, offload="group",
+                        offload_group_size=args.group_size)
+
+    frame = make_reference_frame(args.height, args.width)
+    prompt = ("tok1 tok2 tok3 a calm ocean at sunset, gentle waves, "
+              "seagulls calling")
+
+    print(f"[e2e] generating {args.width}x{args.height} x{args.num_frames}f "
+          f"steps={args.steps} cfg_cache={args.cfg_cache_interval} "
+          f"group={args.group_size} backend={jax.devices()[0].platform}")
+    t0 = time.time()
+    result = pipe(prompt=prompt, image=frame, negative_prompt="",
+                  seed=args.seed, height=args.height, width=args.width,
+                  num_frames=args.num_frames,
+                  num_inference_steps=args.steps,
+                  cfg_cache_interval=args.cfg_cache_interval)
+    timings["generate_s"] = round(time.time() - t0, 1)
+    print(f"[e2e] generate: {timings['generate_s']}s  "
+          f"HBM in use {hbm_in_use_gb():.1f} GB")
+
+    t0 = time.time()
+    out = save_video_with_audio(args.output, result.video, result.audio,
+                                fps=result.fps,
+                                sample_rate=result.sample_rate)
+    timings["mux_s"] = round(time.time() - t0, 1)
+
+    summary = {
+        "metric": "mova720p_e2e",
+        "geometry": f"{args.width}x{args.height}x{args.num_frames}",
+        "steps": args.steps,
+        "cfg_cache_interval": args.cfg_cache_interval,
+        "offload": f"group:{args.group_size}",
+        "weight_storage": "fp8(e4m3) kernels + bf16 rest" if not args.dry
+                          else "bf16",
+        "host_params_gib": round(host_gb, 1),
+        "video_shape": list(np.asarray(result.video).shape),
+        "audio_samples": int(np.asarray(result.audio).shape[-1]),
+        "output": out,
+        "backend": jax.devices()[0].platform,
+        "timings": timings,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
