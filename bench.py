@@ -309,28 +309,38 @@ def main():
     # the opt-in lossy path (--quantize int8 --attn_type sage); measured
     # against the same proxy to quantify the serving speedup and its error.
     int8_pass_s = int8_speedup = int8_rel_err = None
+    out_q = None
     if on_tpu and not small and not fast_mode:
-        from dualforce_tpu import nn as _nn
+        # OPTIONAL phase: never let a lossy-mode failure sink the headline
+        # artifact (seen live: pre-bf16-rope sage OOM at the 720p geometry)
+        try:
+            from dualforce_tpu import nn as _nn
 
-        params_q = {k: _nn.quantize_tree_int8(v) for k, v in params.items()}
-        step_q = make_step("sage", cfg=cfg)
-        print("[bench] int8 serving-mode compile (w8a8 proj + sage attn)",
-              file=sys.stderr, flush=True)
-        out_q = step_q(params_q, visual, audio, ctx, t, rope_pack)
-        num = float(jnp.linalg.norm((out_q[0] - out[0]).astype(jnp.float32)))
-        den = float(jnp.linalg.norm(out[0].astype(jnp.float32))) + 1e-9
-        int8_rel_err = num / den
-        qtimes = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
+            params_q = {k: _nn.quantize_tree_int8(v) for k, v in params.items()}
+            step_q = make_step("sage", cfg=cfg)
+            print("[bench] int8 serving-mode compile (w8a8 proj + sage attn)",
+                  file=sys.stderr, flush=True)
             out_q = step_q(params_q, visual, audio, ctx, t, rope_pack)
-            float(jnp.sum(out_q[0]).astype(jnp.float32))
-            qtimes.append(time.perf_counter() - t0)
-        int8_pass_s = float(np.median(qtimes))
-        int8_speedup = pass_s / int8_pass_s
-        print(f"[bench] int8 serving pass: {int8_pass_s:.3f}s "
-              f"({int8_speedup:.2f}x vs headline, rel err {int8_rel_err:.1e})",
-              file=sys.stderr, flush=True)
+            num = float(jnp.linalg.norm((out_q[0] - out[0]).astype(jnp.float32)))
+            den = float(jnp.linalg.norm(out[0].astype(jnp.float32))) + 1e-9
+            int8_rel_err = num / den
+            qtimes = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                out_q = step_q(params_q, visual, audio, ctx, t, rope_pack)
+                float(jnp.sum(out_q[0]).astype(jnp.float32))
+                qtimes.append(time.perf_counter() - t0)
+            int8_pass_s = float(np.median(qtimes))
+            int8_speedup = pass_s / int8_pass_s
+            print(f"[bench] int8 serving pass: {int8_pass_s:.3f}s "
+                  f"({int8_speedup:.2f}x vs headline, rel err {int8_rel_err:.1e})",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001 — report, keep the headline
+            print(f"[bench] int8 serving phase failed (skipping): "
+                  f"{type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr, flush=True)
+            int8_pass_s = int8_speedup = int8_rel_err = None
+            params_q = step_q = out_q = None
 
     # --- measured VAE decode (the second hot spot) -------------------------
     vae_decode_s = dac_decode_s = None

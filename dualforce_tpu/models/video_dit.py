@@ -54,8 +54,11 @@ def self_attention(p, x, rope, num_heads: int, eps: float, attn_impl: str = "aut
     k = nn.rms_norm(nn.linear(p["k"], x), p["norm_k"], eps).reshape(b, s, num_heads, d)
     v = nn.linear(p["v"], x).reshape(b, s, num_heads, d)
     cos, sin = rope
-    q = apply_rope_interleaved(q, cos, sin)
-    k = apply_rope_interleaved(k, cos, sin)
+    # the int8 path quantizes q/k right after rotation — fp32 rope there only
+    # costs HBM (3.4 GB/tensor at 720p), its precision is below the int8 floor
+    rope_dtype = jnp.bfloat16 if attn_impl == "sage" else jnp.float32
+    q = apply_rope_interleaved(q, cos, sin, compute_dtype=rope_dtype)
+    k = apply_rope_interleaved(k, cos, sin, compute_dtype=rope_dtype)
     out = attention(q, k, v, impl=attn_impl).reshape(b, s, dim)
     return nn.linear(p["o"], out)
 

@@ -106,21 +106,25 @@ def build_audio_freqs(tables, length: int):
 # application (device, fp32 math inside bf16 towers)
 # ---------------------------------------------------------------------------
 
-def apply_rope_interleaved(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+def apply_rope_interleaved(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+                           compute_dtype=jnp.float32) -> jnp.ndarray:
     """Interleaved-pairs rotary application (rope_apply_head_dim convention).
 
     x:   [B, S, N, D] — adjacent channel pairs (2i, 2i+1) form complex numbers.
     cos/sin: [S, D//2] (broadcast over batch and heads).
 
     The reference multiplies in complex128; we compute in fp32 and cast back.
+    compute_dtype=bf16 is for the int8 (sage) attention path, where rotation
+    precision is far below the quantization noise floor and the fp32
+    intermediates dominate HBM at 720p token counts (3.4 GB per tensor).
     """
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x.astype(compute_dtype)
     b, s, n, d = x.shape
     xf = xf.reshape(b, s, n, d // 2, 2)
     even, odd = xf[..., 0], xf[..., 1]
-    c = cos.astype(jnp.float32)[None, :, None, :]
-    si = sin.astype(jnp.float32)[None, :, None, :]
+    c = cos.astype(compute_dtype)[None, :, None, :]
+    si = sin.astype(compute_dtype)[None, :, None, :]
     out_even = even * c - odd * si
     out_odd = even * si + odd * c
     out = jnp.stack([out_even, out_odd], axis=-1).reshape(b, s, n, d)

@@ -186,6 +186,18 @@ def main():
                         attn_impl=args.attn_type, offload="group",
                         offload_group_size=args.group_size)
 
+    step_times = []
+
+    def _progress(step, total):
+        now = time.time()
+        dt = now - (_progress.last or now)
+        _progress.last = now
+        step_times.append(round(dt, 2))
+        print(f"[e2e] step {step}/{total} ({dt:.1f}s)", flush=True)
+
+    _progress.last = None
+    pipe.progress_cb = _progress
+
     frame = make_reference_frame(args.height, args.width)
     prompt = ("tok1 tok2 tok3 a calm ocean at sunset, gentle waves, "
               "seagulls calling")
@@ -223,6 +235,7 @@ def main():
         "output": out,
         "backend": jax.devices()[0].platform,
         "timings": timings,
+        "step_times_s": step_times,
     }
     print(json.dumps(summary))
 
