@@ -72,7 +72,8 @@ class MOVAPipeline:
     def __init__(self, cfg: MOVAConfig, params: Dict[str, Any], tokenizer=None,
                  compute_dtype=jnp.bfloat16, attn_impl: str = "auto",
                  offload: str = "none", mesh=None, quantize: str = "none",
-                 mask_ctx_pad: bool = False, offload_group_size: int = 8):
+                 mask_ctx_pad: bool = False, offload_group_size: int = 8,
+                 offload_resident_small: bool = False):
         """offload: "none" (weights HBM-resident, the TPU-native default),
         "component" — the escape hatch for chips whose HBM can't hold the
         full pipeline (reference's enable_model_cpu_offload +
@@ -124,6 +125,10 @@ class MOVAPipeline:
             raise ValueError(f"unknown offload mode {offload!r}")
         self.offload = offload
         self.offload_group_size = int(offload_group_size)
+        # group mode: keep the ~4 GB audio tower + bridge HBM-resident and
+        # stream only the active video tower (cuts per-pass host->HBM bytes
+        # ~22%; needs the extra HBM headroom, so opt-in)
+        self.offload_resident_small = bool(offload_resident_small)
         if offload == "group" and mesh is not None and \
                 getattr(mesh, "shape", {}).get("cp", 1) > 1:
             raise ValueError("offload='group' is a single-chip escape hatch; "
@@ -579,7 +584,8 @@ class MOVAPipeline:
                     cfg_cache_interval=cfg_cache_interval,
                     cfg_scale_bridge=cfg_scale_bridge,
                     ctx_len_pos=ctx_len_pos, ctx_len_neg=ctx_len_neg,
-                    progress_fn=self._progress_fn)
+                    progress_fn=self._progress_fn,
+                    resident_small=self.offload_resident_small)
             return latents, audio_latents
         with self._staged("audio_dit", "bridge") as shared:
             for tower, start, stop in phases:

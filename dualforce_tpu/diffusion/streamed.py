@@ -174,6 +174,7 @@ def streamed_pass(
     attn_impl: str = "auto",
     condition_scale: Optional[float] = None,
     ctx_valid_len=None,
+    resident: Optional[Tuple[Any, Any]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     vcfg, acfg, bcfg = cfg.video_dit, cfg.audio_dit, cfg.bridge
     (visual_x, audio_x, visual_ctx, audio_ctx, v_t, v_t_mod, a_t, a_t_mod
@@ -187,18 +188,43 @@ def streamed_pass(
     a_rope = rope_pack["a"]
     cross_rope = rope_pack.get("cross")
 
-    cur = jax.device_put(host_groups[0])
+    def _assemble(g, spec):
+        """Join a streamed video-group slice with on-device audio/bridge
+        slices when those towers are HBM-resident (resident_small mode)."""
+        if resident is None:
+            return g
+        a_blocks, b_tree = resident
+        a0, a1 = spec["a"]
+        b0, b1 = spec["b"]
+        out = dict(g)
+        out["a"] = jax.tree.map(lambda x: x[a0:a1], a_blocks)
+        out["b"] = {k: jax.tree.map(lambda x: x[b0:b1], b_tree[k])
+                    for k in ("a2v", "v2a")}
+        for k, v in b_tree.items():
+            if k not in ("a2v", "v2a"):
+                out["b"][k] = v
+        return out
+
+    cur = _assemble(jax.device_put(host_groups[0]), group_specs[0])
     for gi, spec in enumerate(group_specs):
         # start group g+1's host->HBM transfer BEFORE dispatching group g's
         # compute: both dispatches are async, so the copy rides alongside
         # the MXU work instead of serializing after it
-        nxt = (jax.device_put(host_groups[gi + 1])
+        nxt = (_assemble(jax.device_put(host_groups[gi + 1]),
+                         group_specs[gi + 1])
                if gi + 1 < len(group_specs) else None)
         visual_x, audio_x = _group_forward(
             cur, vcfg, acfg, bcfg, visual_x, audio_x, visual_ctx, audio_ctx,
             v_t_mod, a_t_mod, v_rope, a_rope, cross_rope, ctx_valid_len,
             spec["shared"], spec["interact"], attn_impl,
             condition_scale, condition_scale, grid)
+        # FLOW CONTROL: bound in-flight host staging to two groups. Without
+        # this the async dispatch races arbitrarily far ahead and every
+        # pending device_put pins a host copy of its group — observed live
+        # as a ~30 GB/step RSS climb and an OOM kill at step 3 of the 360p
+        # e2e run. Group g+1's transfer was issued above, so it still
+        # overlaps group g's compute; only group g+2's staging waits.
+        jax.block_until_ready(visual_x)
         cur = nxt  # drop the last reference; HBM frees once compute retires
 
     return _head(video_periph, audio_periph, vcfg, acfg, visual_x, audio_x,
@@ -242,6 +268,7 @@ def denoise_streamed(
     ctx_len_pos=None,
     ctx_len_neg=None,
     progress_fn=None,
+    resident_small: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Steps [start, stop) with the active tower's blocks streamed from host
     RAM in layer groups. Semantics (CFG, negative-cache, dual CFG, Euler
@@ -257,9 +284,23 @@ def denoise_streamed(
 
     num_v = jax.tree.leaves(video_params["blocks"])[0].shape[0]
     specs = plan_groups(cfg.bridge, num_v, group_size)
-    host_groups = [
-        _slice_group(video_params["blocks"], audio_params["blocks"],
-                     bridge_params, s) for s in specs]
+    resident = None
+    if resident_small:
+        # The audio tower + bridge together are ~4 GB fp8 — a fraction of
+        # the 14 GB video tower. Pinning them in HBM removes ~22% of the
+        # per-pass host->HBM traffic; only the video groups stream. Their
+        # per-group slices are taken on-device inside the pass loop
+        # (transient sub-GB copies), so HBM holds one extra copy of at most
+        # one group's audio+bridge slice at a time.
+        resident = (jax.device_put(audio_params["blocks"]),
+                    jax.device_put(bridge_params))
+        host_groups = [{"v": jax.tree.map(
+            lambda x, s=s: x[s["v"][0]:s["v"][1]], video_params["blocks"])}
+            for s in specs]
+    else:
+        host_groups = [
+            _slice_group(video_params["blocks"], audio_params["blocks"],
+                         bridge_params, s) for s in specs]
     video_periph = jax.device_put(
         {k: v for k, v in video_params.items() if k != "blocks"})
     audio_periph = jax.device_put(
@@ -290,7 +331,8 @@ def denoise_streamed(
             video_periph, audio_periph, host_groups, specs, cfg,
             mi, al, ctx, tt, att, rope_pack,
             compute_dtype=compute_dtype, attn_impl=attn_impl,
-            condition_scale=bridge_scale, ctx_valid_len=ctx_len)
+            condition_scale=bridge_scale, ctx_valid_len=ctx_len,
+            resident=resident)
 
     pair_t = plan.pair_timesteps
     sig_v, sig_a = plan.sigmas_visual, plan.sigmas_audio

@@ -105,6 +105,32 @@ def test_streamed_cfg_modes_match():
                                    rtol=2e-5, atol=2e-5, err_msg=str(kw))
 
 
+def test_streamed_resident_small_matches():
+    """resident_small pins audio tower + bridge in HBM and streams only the
+    video groups; results must be bit-comparable to the all-streamed path."""
+    cfg, params, plan, data = _setup()
+    lat_r, alat_r = _run_resident(cfg, params, plan, data, cfg_scale=4.0)
+    lat_s, alat_s = _run_streamed(cfg, params, plan, data, group_size=2,
+                                  cfg_scale=4.0, resident_small=True)
+    np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(alat_s), np.asarray(alat_r),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_streamed_resident_small_sparse_interaction():
+    """Sparse strategies exercise the on-device bridge slice remapping."""
+    cfg, params, plan, data = _setup(visual_layers=7, audio_layers=6,
+                                     strategy="distributed")
+    lat_r, alat_r = _run_resident(cfg, params, plan, data, cfg_scale=4.0)
+    lat_s, alat_s = _run_streamed(cfg, params, plan, data, group_size=4,
+                                  cfg_scale=4.0, resident_small=True)
+    np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(alat_s), np.asarray(alat_r),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_streamed_sparse_interaction_matches():
     """Non-"full" strategies exercise the per-layer general path with
     group-local bridge index remapping."""

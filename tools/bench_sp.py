@@ -114,6 +114,15 @@ def main():
     print(f"rel diff sp vs plain: {num / den:.2e}")
     print(f"sp machinery overhead at cp=1: {(t_sp / t_plain - 1) * 100:.1f}% "
           f"({t_sp - t_plain:+.3f}s on {layers} flagship-width layers)")
+    import json
+
+    print(json.dumps({
+        "metric": "sp_machinery_overhead_cp1",
+        "plain_s": round(t_plain, 4), "sp_s": round(t_sp, 4),
+        "overhead_pct": round((t_sp / t_plain - 1) * 100, 2),
+        "rel_diff": num / den, "layers": layers,
+        "backend": jax.devices()[0].platform,
+    }))
 
 
 if __name__ == "__main__":

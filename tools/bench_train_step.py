@@ -121,6 +121,15 @@ def main():
     print(f"train step: {t:.3f}s  effective {eff/1e12:.1f} TF/s "
           f"({eff/peak:.3f} of v5e bf16 peak, 3x-fwd convention; "
           f"remat means the chip does ~4x fwd)")
+    import jax
+    import json
+
+    print(json.dumps({
+        "metric": "lora_train_step", "step_s": round(t, 4),
+        "effective_tflops": round(eff / 1e12, 1),
+        "effective_mfu_3x_fwd": round(eff / peak, 4),
+        "layers": v_layers, "backend": jax.devices()[0].platform,
+    }))
 
 
 if __name__ == "__main__":

@@ -126,6 +126,67 @@ def synthesize_params(cfg, *, fp8: bool, log=print):
     return out
 
 
+def _cache_paths(cache_dir: str, mod: str):
+    return (os.path.join(cache_dir, mod), os.path.join(cache_dir, mod,
+                                                       "manifest.json"))
+
+
+def save_params_cache(params, cache_dir: str, log=print):
+    """Persist the synthesized host trees as raw per-leaf binary files so
+    later runs skip the ~17-minute synthesis. Raw bytes (not .npy): numpy
+    can't serialize ml_dtypes (fp8/bf16) descrs; shapes/dtypes go in a
+    manifest and the tree structure is rebuilt from jax.eval_shape."""
+    import jax
+
+    for mod, sub in params.items():
+        d, man_p = _cache_paths(cache_dir, mod)
+        os.makedirs(d, exist_ok=True)
+        leaves = jax.tree.leaves(sub)
+        man = []
+        for i, leaf in enumerate(leaves):
+            a = np.ascontiguousarray(leaf)
+            with open(os.path.join(d, f"{i}.bin"), "wb") as f:
+                f.write(a.view(np.uint8).reshape(-1).data)
+            man.append({"shape": list(a.shape), "dtype": a.dtype.name})
+        with open(man_p, "w") as f:
+            json.dump(man, f)
+        log(f"[cache] saved {mod}: {len(leaves)} leaves")
+
+
+def load_params_cache(cfg, cache_dir: str, log=print):
+    """Rebuild the host param trees from a save_params_cache dir, memory-
+    mapped (leaves page in lazily as device_put streams them)."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from dualforce_tpu.models.factory import init_pipeline_params
+
+    dt = {"float8_e4m3fn": ml_dtypes.float8_e4m3fn,
+          "bfloat16": ml_dtypes.bfloat16, "float32": np.float32}
+    shapes = jax.eval_shape(
+        lambda k: init_pipeline_params(k, cfg, dtype=jnp.bfloat16),
+        jax.random.PRNGKey(0))
+    out = {}
+    for mod, sub in shapes.items():
+        d, man_p = _cache_paths(cache_dir, mod)
+        if not os.path.exists(man_p):
+            return None
+        with open(man_p) as f:
+            man = json.load(f)
+        leaves, treedef = jax.tree_util.tree_flatten(sub)
+        if len(man) != len(leaves):
+            return None  # stale cache (config changed)
+        vals = []
+        for i, m in enumerate(man):
+            raw = np.memmap(os.path.join(d, f"{i}.bin"), dtype=np.uint8,
+                            mode="r")
+            vals.append(raw.view(dt[m["dtype"]]).reshape(m["shape"]))
+        out[mod] = jax.tree_util.tree_unflatten(treedef, vals)
+        log(f"[cache] loaded {mod} (mmap)")
+    return out
+
+
 def make_reference_frame(height: int, width: int) -> np.ndarray:
     """Deterministic smooth test card in [-1, 1], [H, W, 3]."""
     y = np.linspace(-1, 1, height, dtype=np.float32)[:, None]
@@ -147,6 +208,12 @@ def main():
     ap.add_argument("--attn_type", type=str, default="auto")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--output", type=str, default="out/720p_e2e.mp4")
+    ap.add_argument("--params_cache", type=str, default=None,
+                    help="dir to save/load the synthesized host params "
+                         "(skips the ~17 min synthesis on later runs)")
+    ap.add_argument("--resident_small", action="store_true",
+                    help="keep audio tower + bridge HBM-resident; stream "
+                         "only the video tower (~22%% less h2d per pass)")
     ap.add_argument("--dry", action="store_true",
                     help="tiny config on CPU — code-path smoke test")
     args = ap.parse_args()
@@ -174,7 +241,13 @@ def main():
 
     timings = {}
     t0 = time.time()
-    params = synthesize_params(cfg, fp8=not args.dry)
+    params = None
+    if args.params_cache:
+        params = load_params_cache(cfg, args.params_cache)
+    if params is None:
+        params = synthesize_params(cfg, fp8=not args.dry)
+        if args.params_cache:
+            save_params_cache(params, args.params_cache)
     timings["synthesize_params_s"] = round(time.time() - t0, 1)
     host_gb = sum(l.size * l.dtype.itemsize
                   for l in jax.tree.leaves(params)) / 2**30
@@ -184,7 +257,8 @@ def main():
     tok = build_tokenizer(cfg.text_encoder.vocab_size)
     pipe = MOVAPipeline(cfg, params, tokenizer=tok,
                         attn_impl=args.attn_type, offload="group",
-                        offload_group_size=args.group_size)
+                        offload_group_size=args.group_size,
+                        offload_resident_small=args.resident_small)
 
     step_times = []
 
@@ -226,7 +300,8 @@ def main():
         "geometry": f"{args.width}x{args.height}x{args.num_frames}",
         "steps": args.steps,
         "cfg_cache_interval": args.cfg_cache_interval,
-        "offload": f"group:{args.group_size}",
+        "offload": f"group:{args.group_size}"
+                   + (":resident_small" if args.resident_small else ""),
         "weight_storage": "fp8(e4m3) kernels + bf16 rest" if not args.dry
                           else "bf16",
         "host_params_gib": round(host_gb, 1),
