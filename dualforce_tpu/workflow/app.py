@@ -164,8 +164,8 @@ def attach_ui(server, wf_cfg: WorkflowConfig | None = None):
             None, lambda: extract_visual_elements(b64, wf_cfg))
         full_prompt = await loop.run_in_executor(
             None, lambda: rewrite_prompt(
-                idea + ("\nVisual elements:\n" + elements if elements else ""),
-                wf_cfg, image_b64=b64))
+                idea, wf_cfg, image_b64=None if elements else b64,
+                first_frame_elements=elements or None))
         # 4. submit generation
         from dualforce_tpu.serving.server import Task
         import uuid

@@ -24,9 +24,25 @@ class WorkflowConfig:
     task_timeout_s: float = _env_float("DUALFORCE_TASK_TIMEOUT", "1800")
     output_dir: str = _env("DUALFORCE_OUTPUT_DIR", "./workflow_outputs")
 
-    # External LLM providers (first-frame gen / prompt rewrite). The reference
-    # uses Gemini 2.5 Flash Image + DashScope/qwen (workflow/config.py:59-101);
-    # any OpenAI-compatible endpoint works here.
+    # External LLM providers (first-frame gen / element extraction / prompt
+    # rewrite). Native adapters for the reference's two backends — Gemini and
+    # DashScope (workflow/config.py:59-101, api_utils.py:12-26; same env-var
+    # contract: GEMINI_API_KEY/GEMINI_API_URL, DASHSCOPE_API_KEY/
+    # DASHSCOPE_BASE_URL) — plus any OpenAI-compatible endpoint.
+    gemini_api_key: str = _env("GEMINI_API_KEY")
+    gemini_api_base: str = _env("GEMINI_API_URL",
+                                "https://generativelanguage.googleapis.com")
+    gemini_text_model: str = _env("GEMINI_MODEL", "gemini-2.5-pro")
+    gemini_image_model: str = _env("GEMINI_IMAGE_MODEL",
+                                   "gemini-2.5-flash-image")
+    dashscope_api_key: str = _env("DASHSCOPE_API_KEY")
+    dashscope_api_base: str = _env("DASHSCOPE_BASE_URL",
+                                   "https://dashscope.aliyuncs.com/api/v1")
+    dashscope_text_model: str = _env("DASHSCOPE_TEXT_MODEL", "qwen-plus")
+    dashscope_vision_model: str = _env("DASHSCOPE_VISION_MODEL",
+                                       "qwen3-vl-plus")
+    dashscope_image_model: str = _env("DASHSCOPE_IMAGE_MODEL",
+                                      "z-image-turbo")
     llm_api_base: str = _env("DUALFORCE_LLM_API_BASE")
     llm_api_key: str = _env("DUALFORCE_LLM_API_KEY")
     llm_model: str = _env("DUALFORCE_LLM_MODEL")
@@ -35,9 +51,27 @@ class WorkflowConfig:
     image_model: str = _env("DUALFORCE_IMAGE_MODEL")
 
     @property
-    def llm_available(self) -> bool:
+    def gemini_available(self) -> bool:
+        return bool(self.gemini_api_key)
+
+    @property
+    def dashscope_available(self) -> bool:
+        return bool(self.dashscope_api_key)
+
+    @property
+    def openai_chat_available(self) -> bool:
         return bool(self.llm_api_base and self.llm_api_key)
 
     @property
-    def image_gen_available(self) -> bool:
+    def openai_image_available(self) -> bool:
         return bool(self.image_api_base and self.image_api_key)
+
+    @property
+    def llm_available(self) -> bool:
+        return bool(self.gemini_api_key or self.dashscope_api_key
+                    or self.openai_chat_available)
+
+    @property
+    def image_gen_available(self) -> bool:
+        return bool(self.gemini_api_key or self.dashscope_api_key
+                    or self.openai_image_available)
