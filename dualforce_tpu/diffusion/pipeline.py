@@ -73,7 +73,8 @@ class MOVAPipeline:
                  compute_dtype=jnp.bfloat16, attn_impl: str = "auto",
                  offload: str = "none", mesh=None, quantize: str = "none",
                  mask_ctx_pad: bool = False, offload_group_size: int = 8,
-                 offload_resident_small: bool = False):
+                 offload_resident_small: bool = False,
+                 vae_encode_dtype: Optional[str] = None):
         """offload: "none" (weights HBM-resident, the TPU-native default),
         "component" — the escape hatch for chips whose HBM can't hold the
         full pipeline (reference's enable_model_cpu_offload +
@@ -129,6 +130,15 @@ class MOVAPipeline:
         # stream only the active video tower (cuts per-pass host->HBM bytes
         # ~22%; needs the extra HBM headroom, so opt-in)
         self.offload_resident_small = bool(offload_resident_small)
+        # vae_encode_dtype: run the streaming VAE encoder in bf16 ("bf16") —
+        # required at 720p where the minimum-chunk f32 encode needs ~18 GB
+        # HBM (measured); None/"fp32" keeps the checkpoint's f32 for exact
+        # reference parity. Conditioning tolerance is far above bf16 noise.
+        _dt = {None: None, "fp32": None, "f32": None, "float32": None,
+               "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}
+        if vae_encode_dtype not in _dt:
+            raise ValueError(f"unknown vae_encode_dtype {vae_encode_dtype!r}")
+        self.vae_encode_dtype = _dt[vae_encode_dtype]
         if offload == "group" and mesh is not None and \
                 getattr(mesh, "shape", {}).get("cp", 1) > 1:
             raise ValueError("offload='group' is a single-chip escape hatch; "
@@ -270,15 +280,21 @@ class MOVAPipeline:
             [jax.random.normal(k, (1, vcfg.z_dim, F, lh, lw), jnp.float32)
              for k in keys], axis=0)
 
-        # encode [first_frame, zeros...] deterministically (argmax mode)
-        video_condition = np.zeros((b, num_frames, height, width, 3), np.float32)
-        for i, frame in enumerate(first_frames):
-            video_condition[i, 0] = frame
+        # encode [first_frame, zeros...] deterministically (argmax mode).
+        # Built ON DEVICE from the first frames alone: all later frames are
+        # zeros, so shipping a [b,T,H,W,3] host array (2.1 GB f32 at 720p)
+        # over PCIe/tunnel would be pure waste.
+        enc_dt = self.vae_encode_dtype or jnp.float32
+        ff = jnp.asarray(np.stack(first_frames).astype(np.float32),
+                         dtype=enc_dt)[:, None]
+        video_condition = jnp.pad(
+            ff, ((0, 0), (0, num_frames - 1), (0, 0), (0, 0), (0, 0)))
         # streaming encode (reference encodes with the same feature cache it
         # decodes with, pipeline_mova.py:236-240) — required at 720p where the
         # full-sequence encoder activations exceed HBM
-        cond = wan_vae.encode_mode_streaming(params["video_vae"], vcfg,
-                                             jnp.asarray(video_condition))
+        cond = wan_vae.encode_mode_streaming(
+            params["video_vae"], vcfg, video_condition,
+            compute_dtype=self.vae_encode_dtype)
         cond = wan_vae.normalize_latents(cond, vcfg)          # [b,F,lh,lw,16]
         cond = jnp.transpose(cond, (0, 4, 1, 2, 3)).astype(jnp.float32)
 

@@ -545,7 +545,7 @@ def _encoder_stream_chunk(p, cfg: WanVAEConfig, x_chunk, caches, is_first: bool)
 
 
 def encode_moments_streaming(params, cfg: WanVAEConfig, video,
-                             chunk: int | None = None):
+                             chunk: int | None = None, compute_dtype=None):
     """Memory-bounded encode: video [B,T,H,W,3] -> (mean, logvar), identical
     to `encode_moments` but with peak activation memory O(`chunk` raw frames).
 
@@ -553,7 +553,19 @@ def encode_moments_streaming(params, cfg: WanVAEConfig, video,
     2^(#temporal downsamples) (4 for the shipped config) so each temporal
     downsample stage sees an even chunk; non-divisible (T-1) % chunk falls
     back to that minimum. chunk=None scales a 16-frames-at-360p activation
-    budget by the input pixel count (=> 4 at 720p)."""
+    budget by the input pixel count (=> 4 at 720p).
+
+    `compute_dtype` runs the ENCODER (params, activations, carried caches) in
+    that dtype — at 720p the minimum-chunk f32 pass needs ~18 GB HBM (5 GB of
+    f32 caches + 10.7 GB body temps, measured), over a 16 GB v5e; bf16 halves
+    all of it and fits. The tiny quant_conv stays in the params' dtype, so
+    the returned moments keep full precision at the head. None = params
+    dtype (exact parity with `encode_moments`)."""
+    if compute_dtype is not None:
+        params = dict(params,
+                      encoder=jax.tree.map(lambda x: x.astype(compute_dtype),
+                                           params["encoder"]))
+        video = video.astype(compute_dtype)
     T = video.shape[1]
     st = 2 ** sum(bool(t) for t in cfg.temperal_downsample)
     if (T - 1) % st:
@@ -584,20 +596,23 @@ def encode_moments_streaming(params, cfg: WanVAEConfig, video,
         _, outs = jax.lax.scan(step, caches, frames)
         rest = jnp.moveaxis(outs, 1, 0).reshape(b, -1, *outs.shape[3:])
         moments = jnp.concatenate([first_out, rest], axis=1)
-    moments = causal_conv3d(params["quant_conv"], moments)
+    moments = causal_conv3d(params["quant_conv"],
+                            moments.astype(params["quant_conv"]["kernel"].dtype))
     mean, logvar = jnp.split(moments, 2, axis=-1)
     return mean, logvar
 
 
 def encode_mode_streaming(params, cfg: WanVAEConfig, video,
-                          chunk: int | None = None):
+                          chunk: int | None = None, compute_dtype=None):
     """Deterministic streaming encode (sample_mode='argmax')."""
-    mean, _ = encode_moments_streaming(params, cfg, video, chunk)
+    mean, _ = encode_moments_streaming(params, cfg, video, chunk,
+                                       compute_dtype)
     return mean
 
 
 def encode_sample_streaming(params, cfg: WanVAEConfig, video, key,
-                            chunk: int | None = None):
-    mean, logvar = encode_moments_streaming(params, cfg, video, chunk)
+                            chunk: int | None = None, compute_dtype=None):
+    mean, logvar = encode_moments_streaming(params, cfg, video, chunk,
+                                            compute_dtype)
     std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
     return mean + std * jax.random.normal(key, mean.shape, mean.dtype)

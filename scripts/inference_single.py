@@ -77,6 +77,11 @@ def parse_args():
                    help="cross-attend only the prompt's valid tokens via the "
                         "kernel kv mask (deviates from the reference's "
                         "attend-the-zero-pads semantics)")
+    p.add_argument("--vae_encode_dtype", type=str, default=None,
+                   choices=["fp32", "bf16"],
+                   help="VAE encoder compute dtype for prepare_latents; "
+                        "bf16 is required at 720p on 16 GB chips (f32 "
+                        "streaming encode needs ~18 GB HBM)")
     p.add_argument("--quantize", type=str, default="none",
                    choices=["none", "int8"],
                    help="int8 pre-quantizes DiT/bridge projections (w8a8 on "
@@ -168,7 +173,8 @@ def main():
     pipe = MOVAPipeline(cfg, params, tokenizer=tokenizer, attn_impl=args.attn_type,
                         offload=offload, mesh=mesh, quantize=args.quantize,
                         mask_ctx_pad=args.mask_ctx_pad,
-                        offload_group_size=args.offload_group_size)
+                        offload_group_size=args.offload_group_size,
+                        vae_encode_dtype=args.vae_encode_dtype)
 
     image = Image.open(args.ref_path).convert("RGB")
     image = crop_and_resize(image, args.height, args.width)

@@ -33,6 +33,11 @@ def main():
                     help="cross-attend only each prompt's valid tokens via "
                          "the kernel kv mask (deviates from the reference's "
                          "attend-the-zero-pads semantics)")
+    ap.add_argument("--vae_encode_dtype", type=str, default=None,
+                    choices=["fp32", "bf16"],
+                    help="VAE encoder compute dtype for prepare_latents; "
+                         "bf16 is required at 720p on 16 GB chips (f32 "
+                         "streaming encode needs ~18 GB HBM)")
     ap.add_argument("--weight_dtype", type=str, default="bf16",
                     choices=["bf16", "fp8"],
                     help="fp8 stores matmul kernels as float8_e4m3 — both "
@@ -99,7 +104,8 @@ def main():
                         attn_impl=args.attn_type, mesh=mesh,
                         quantize=args.quantize, offload=args.offload,
                         mask_ctx_pad=args.mask_ctx_pad,
-                        offload_group_size=args.offload_group_size)
+                        offload_group_size=args.offload_group_size,
+                        vae_encode_dtype=args.vae_encode_dtype)
     if args.warmup:
         w, h, frames, steps = (int(x) for x in args.warmup.split("x"))
         # batching makes group sizes 1..max_batch possible; warm the common ones

@@ -286,6 +286,33 @@ def test_wan_vae_streaming_encode_matches_full():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_wan_vae_streaming_encode_bf16_compute():
+    """compute_dtype=bf16 (the 720p-in-16GB mode) must equal a full-sequence
+    encode run at the same precision: the recursion is dtype-agnostic, so the
+    only delta vs f32 is the quantization itself."""
+    cfg = TINY_WAN
+    params = wan_vae.init(jax.random.PRNGKey(0), cfg)
+    video = jax.random.normal(jax.random.PRNGKey(9), (2, 9, 16, 16, 3))
+    # full-sequence reference at bf16: bf16 encoder, f32 quant head (same
+    # construction as the streaming path)
+    p16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params["encoder"])
+    h = wan_vae.encoder_apply(p16, cfg, video.astype(jnp.bfloat16))
+    moments = wan_vae.causal_conv3d(params["quant_conv"],
+                                    h.astype(jnp.float32))
+    fm, fl = jnp.split(moments, 2, axis=-1)
+    sm, sl = wan_vae.encode_moments_streaming(
+        params, cfg, video, compute_dtype=jnp.bfloat16)
+    assert sm.dtype == fm.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(sm), np.asarray(fm),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(sl), np.asarray(fl),
+                               rtol=2e-2, atol=2e-2)
+    # and bf16 compute stays close to the f32 result (conditioning-grade)
+    f32m, _ = wan_vae.encode_moments(params, cfg, video)
+    np.testing.assert_allclose(np.asarray(sm), np.asarray(f32m),
+                               rtol=0.15, atol=0.15)
+
+
 def test_wan_vae_streaming_encode_two_temporal_downs():
     """Shipped-architecture shape (two temporal downsamples, st=4): every
     dividing chunk matches; non-dividing chunk falls back to st."""

@@ -178,7 +178,14 @@ def load_params_cache(cfg, cache_dir: str, log=print):
         if len(man) != len(leaves):
             return None  # stale cache (config changed)
         vals = []
-        for i, m in enumerate(man):
+        for i, (m, leaf) in enumerate(zip(man, leaves)):
+            # shape must match the CURRENT config (dtype legitimately differs:
+            # the cache stores fp8/bf16, eval_shape traces bf16) — a leaf-count
+            # match alone would reshape stale bytes into wrong-shaped weights
+            if tuple(m["shape"]) != tuple(leaf.shape):
+                log(f"[cache] stale ({mod} leaf {i}: {m['shape']} != "
+                    f"{list(leaf.shape)}); re-synthesizing")
+                return None
             raw = np.memmap(os.path.join(d, f"{i}.bin"), dtype=np.uint8,
                             mode="r")
             vals.append(raw.view(dt[m["dtype"]]).reshape(m["shape"]))
@@ -214,6 +221,9 @@ def main():
     ap.add_argument("--resident_small", action="store_true",
                     help="keep audio tower + bridge HBM-resident; stream "
                          "only the video tower (~22%% less h2d per pass)")
+    ap.add_argument("--vae_encode_dtype", type=str, default="bf16",
+                    help="VAE encoder compute dtype; f32 needs ~18 GB HBM "
+                         "at 720p (OOM on a 16 GB v5e), bf16 fits")
     ap.add_argument("--dry", action="store_true",
                     help="tiny config on CPU — code-path smoke test")
     args = ap.parse_args()
@@ -258,7 +268,8 @@ def main():
     pipe = MOVAPipeline(cfg, params, tokenizer=tok,
                         attn_impl=args.attn_type, offload="group",
                         offload_group_size=args.group_size,
-                        offload_resident_small=args.resident_small)
+                        offload_resident_small=args.resident_small,
+                        vae_encode_dtype=args.vae_encode_dtype)
 
     step_times = []
 
