@@ -237,12 +237,20 @@ class LoRATrainer:
                 alpha=self.tcfg.lora_alpha, rank=self.tcfg.lora_rank)
             # also write the reference's torch on-disk format so LoRAs trained
             # here round-trip into the torch ecosystem
-            # (lora_utils.py:259-308; re-importable via convert/lora_import.py)
-            from dualforce_tpu.convert.lora_export import save_reference_lora
+            # (lora_utils.py:259-308; re-importable via convert/lora_import.py).
+            # torch is optional at train time — the npz above is the canonical
+            # artifact; never let a missing torch abort a training run at its
+            # first checkpoint
+            try:
+                from dualforce_tpu.convert.lora_export import \
+                    save_reference_lora
 
-            save_reference_lora(lora_np, self.cfg, step_dir,
-                                alpha=self.tcfg.lora_alpha,
-                                rank=self.tcfg.lora_rank)
+                save_reference_lora(lora_np, self.cfg, step_dir,
+                                    alpha=self.tcfg.lora_alpha,
+                                    rank=self.tcfg.lora_rank)
+            except ImportError as e:
+                print(f"[trainer] torch-format LoRA export skipped ({e}); "
+                      f"npz checkpoint written")
 
     def _rope_pack(self, encoded):
         from dualforce_tpu.diffusion.step import make_rope_pack

@@ -20,6 +20,7 @@ them in when a local model path is supplied.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import numpy as np
@@ -224,7 +225,10 @@ def _resample_linear(audio: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
     return np.interp(x_out, np.arange(len(audio)), audio).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
 def _load_torchscript(model_path: str):
+    """Cached per path: a batch eval calls each model-based metric once per
+    clip — reloading a GB-scale checkpoint N times would dominate the sweep."""
     try:
         import torch
     except ImportError:
@@ -288,9 +292,10 @@ def dnsmos_score(audio: np.ndarray, sr: int,
 
     a16 = _resample_linear(audio, sr, 16000)
     seg = int(16000 * segment_s)
-    segments = [a16[i:i + seg] for i in range(0, max(len(a16) - seg + 1, 1), seg)]
-    if not segments:
-        segments = [a16]
+    if len(a16) <= seg:
+        segments = [a16]  # short audio: score the whole clip as one window
+    else:
+        segments = [a16[i:i + seg] for i in range(0, len(a16) - seg + 1, seg)]
     scores = []
     with torch.no_grad():
         for s in segments:
@@ -362,6 +367,20 @@ def _cer(hyp: str, ref: str) -> float:
     return prev[-1] / len(ref)
 
 
+@functools.lru_cache(maxsize=2)
+def _load_asr(asr_model_path: str):
+    """Cached per path (see _load_torchscript)."""
+    try:
+        from transformers import pipeline as hf_pipeline
+    except ImportError:
+        return None
+    try:
+        return hf_pipeline("automatic-speech-recognition",
+                           model=asr_model_path)
+    except Exception:
+        return None
+
+
 def cpcer(audio: np.ndarray, sr: int, text: str,
           asr_model_path: Optional[str] = None) -> Optional[Dict[str, float]]:
     """Character error rate of the generated speech against the prompt text
@@ -369,13 +388,8 @@ def cpcer(audio: np.ndarray, sr: int, text: str,
     returns None without one)."""
     if not asr_model_path or not text:
         return None
-    try:
-        from transformers import pipeline as hf_pipeline
-    except ImportError:
-        return None
-    try:
-        asr = hf_pipeline("automatic-speech-recognition", model=asr_model_path)
-    except Exception:
+    asr = _load_asr(asr_model_path)
+    if asr is None:
         return None
     a16 = _resample_linear(audio, sr, 16000)
     out = asr({"raw": a16, "sampling_rate": 16000})

@@ -24,7 +24,7 @@ import traceback
 import uuid
 from dataclasses import asdict, dataclass, field
 from queue import Queue
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional, Tuple
 
 from aiohttp import web
 
@@ -82,6 +82,50 @@ class TaskStore:
                 setattr(t, k, v)
             if _persist:
                 self._persist()
+
+    def transition(self, task_id: str, allowed_from, to: str,
+                   **kw) -> Tuple[Optional[str], bool]:
+        """Compare-and-set: status -> `to` iff the CURRENT status is in
+        `allowed_from`, atomically with the read. Returns (post-call status,
+        whether this call changed it); (None, False) for unknown ids. Plain
+        update() check-then-set races the worker thread: a cancel could
+        overwrite a concurrent 'completed', or a worker's 'running' could
+        resurrect a task the cancel handler had just cancelled out of the
+        queue."""
+        with self._lock:
+            t = self._tasks.get(task_id)
+            if t is None:
+                return None, False
+            if t.status not in allowed_from:
+                return t.status, False
+            t.status = to
+            for k, v in kw.items():
+                setattr(t, k, v)
+            self._persist()
+            return to, True
+
+    def resolve_finished(self, task_id: str, error: Optional[str] = None,
+                         **completed_kw) -> Optional[str]:
+        """Terminal transition when the backend returns, atomic with any
+        concurrent cancel: cancelling -> cancelled (result discarded),
+        otherwise -> failed (error given) or completed. Returns the final
+        status."""
+        with self._lock:
+            t = self._tasks.get(task_id)
+            if t is None:
+                return None
+            if t.status == "cancelling":
+                t.status = "cancelled"
+                t.completed_at = time.time()
+            elif error is not None:
+                t.status = "failed"
+                t.error = error
+            else:
+                t.status = "completed"
+                for k, v in completed_kw.items():
+                    setattr(t, k, v)
+            self._persist()
+            return t.status
 
     def get(self, task_id: str) -> Optional[Task]:
         return self._tasks.get(task_id)
@@ -303,8 +347,14 @@ class VideoServer:
             group = self._next_group(pending)
             if not group:
                 continue
-            for t in group:
-                self.store.update(t.task_id, status="running", progress=0.05)
+            # CAS queued->running: a cancel that landed between the queue pop
+            # and here already moved the task to 'cancelled' — it must not be
+            # resurrected (or generated at all)
+            group = [t for t in group
+                     if self.store.transition(t.task_id, ("queued",),
+                                              "running", progress=0.05)[1]]
+            if not group:
+                continue
             t0 = time.time()
             def _progress(frac, _group=group):
                 # clamp below 1.0: "completed" flips it to exactly 1.0
@@ -337,16 +387,11 @@ class VideoServer:
                         f"backend returned {len(results)} results for "
                         f"{len(group)} tasks")  # -> whole group marked failed
                 for t, result in zip(group, results):
-                    cur = self.store.get(t.task_id)
-                    if cur is not None and cur.status == "cancelling":
-                        # cancel arrived mid-generation: the in-flight XLA
-                        # program can't be preempted, so the request resolves
-                        # when it finishes — result discarded
-                        self.store.update(t.task_id, status="cancelled",
-                                          completed_at=time.time())
-                        continue
-                    self.store.update(
-                        t.task_id, status="completed", progress=1.0,
+                    # atomic with a concurrent cancel: cancel arrived mid-
+                    # generation -> 'cancelled' (the in-flight XLA program
+                    # can't be preempted; result discarded), else 'completed'
+                    self.store.resolve_finished(
+                        t.task_id, progress=1.0,
                         completed_at=time.time(),
                         inference_time_s=time.time() - t0,
                         file_path=result.get("file_path"),
@@ -355,13 +400,7 @@ class VideoServer:
             except Exception as e:  # noqa: BLE001 — group-level failure isolation
                 traceback.print_exc()
                 for t in group:
-                    cur = self.store.get(t.task_id)
-                    if cur is not None and cur.status == "cancelling":
-                        self.store.update(t.task_id, status="cancelled",
-                                          completed_at=time.time())
-                    else:
-                        self.store.update(t.task_id, status="failed",
-                                          error=str(e))
+                    self.store.resolve_finished(t.task_id, error=str(e))
 
     # --- handlers -----------------------------------------------------------
     async def health(self, request):
@@ -444,22 +483,20 @@ class VideoServer:
         immediately; a running task flips to 'cancelling' and resolves to
         'cancelled' when its in-flight compiled step finishes (XLA programs
         are not preemptible). Terminal tasks return 409."""
-        task = self.store.get(request.match_info["task_id"])
-        if task is None:
+        task_id = request.match_info["task_id"]
+        # two CAS attempts, each atomic with the worker's own transitions:
+        # queued -> cancelled outright, else running -> cancelling
+        status, changed = self.store.transition(
+            task_id, ("queued",), "cancelled", completed_at=time.time())
+        if status is None:
             return web.json_response({"error": "not found"}, status=404)
-        if task.status == "queued":
-            self.store.update(task.task_id, status="cancelled",
-                              completed_at=time.time())
-        elif task.status == "running":
-            self.store.update(task.task_id, status="cancelling")
-        elif task.status == "cancelling":
-            pass  # idempotent
-        else:
-            return web.json_response(
-                {"error": f"task is {task.status}"}, status=409)
-        return web.json_response(
-            {"task_id": task.task_id,
-             "status": self.store.get(task.task_id).status})
+        if not changed:
+            status, changed = self.store.transition(task_id, ("running",),
+                                                    "cancelling")
+            if not changed and status != "cancelling":  # terminal
+                return web.json_response(
+                    {"error": f"task is {status}"}, status=409)
+        return web.json_response({"task_id": task_id, "status": status})
 
     async def download(self, request):
         task = self.store.get(request.match_info["task_id"])

@@ -80,6 +80,8 @@ async function cancelTask(id){
   await fetch(`/v1/videos/${id}/cancel`, {method:'POST'});
   refresh();
 }
+// escape untrusted text (prompts, LLM output, errors) before innerHTML
+function esc(s){return String(s).replace(/[&<>"']/g, c=>({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));}
 async function loadArtifacts(id){
   const box = document.getElementById(`art-${id}`);
   if (!box || box.dataset.loaded) return;
@@ -91,13 +93,13 @@ async function loadArtifacts(id){
   // idea / extracted elements / rewritten prompt as labeled sections
   for (const [name, val] of Object.entries(a)){
     if (/\\.(png|jpe?g)$/i.test(name)){
-      html += `<div><small>${name}</small><img src="${val}"></div>`;
+      html += `<div><small>${esc(name)}</small><img src="${esc(val)}"></div>`;
     } else if (name.endsWith('.txt')){
       const label = {idea:'Idea', elements:'Extracted elements',
                      prompt:'Rewritten prompt'}[name.replace('.txt','')] || name;
-      html += `<div><small><b>${label}</b></small><pre>${val}</pre></div>`;
+      html += `<div><small><b>${esc(label)}</b></small><pre>${esc(val)}</pre></div>`;
     } else {
-      html += `<div><a href="${val}">${name}</a></div>`;
+      html += `<div><a href="${esc(val)}">${esc(name)}</a></div>`;
     }
   }
   box.innerHTML = html || '<small>no artifacts</small>';
@@ -116,7 +118,7 @@ async function refresh(){
         (t.peak_memory_mb ? `, peak HBM ${Math.round(t.peak_memory_mb)} MB` : '') +
         `</small>`;
     } else if (t.status==='failed'){
-      extra = `<pre style="color:#c92a2a;white-space:pre-wrap">${t.error||''}</pre>`;
+      extra = `<pre style="color:#c92a2a;white-space:pre-wrap">${esc(t.error||'')}</pre>`;
     } else if (t.status==='cancelled'){
       extra = `<small>cancelled</small>`;
     } else {
@@ -125,7 +127,7 @@ async function refresh(){
     const cancellable = (t.status==='queued'||t.status==='running');
     d.innerHTML = `<b>${t.task_id}</b> <span class="status-${t.status}">${t.status}</span>
       ${pct}% <small>${fmtTime(t.created_at)}</small>
-      — ${t.prompt.slice(0,120)}` +
+      — ${esc(t.prompt.slice(0,120))}` +
       (cancellable ? `<button class="cancel" onclick="cancelTask('${t.task_id}')">cancel</button>` : '') +
       `<details ontoggle="loadArtifacts('${t.task_id}')">
         <summary>artifacts</summary>

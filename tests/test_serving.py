@@ -365,3 +365,49 @@ def test_cancelling_recovers_to_cancelled_on_restart(tmp_path):
     srv1.store.add(Task(task_id="c1", status="cancelling", prompt="x"))
     srv2 = VideoServer(_fake_backend, out_dir=out)
     assert srv2.store.get("c1").status == "cancelled"
+
+
+def test_taskstore_cas_races(tmp_path):
+    """TaskStore CAS semantics close the cancel/worker races: a cancel can
+    never overwrite a terminal state, a cancelled-out-of-queue task can't be
+    resurrected to 'running', and a mid-generation cancel resolves to
+    'cancelled' no matter how it interleaves with the worker's completion."""
+    from dualforce_tpu.serving.server import Task, TaskStore
+
+    store = TaskStore(str(tmp_path))
+    store.add(Task(task_id="t1", prompt="x", status="queued"))
+
+    # worker wins the queue pop; late cancel of a completed task -> no change
+    assert store.transition("t1", ("queued",), "running") == ("running", True)
+    assert store.resolve_finished("t1", file_path="f") == "completed"
+    assert store.transition("t1", ("queued",), "cancelled") \
+        == ("completed", False)
+    assert store.transition("t1", ("running",), "cancelling") \
+        == ("completed", False)
+    assert store.get("t1").status == "completed"
+
+    # cancel wins between queue pop and the worker's running CAS -> the
+    # worker must drop the task, not resurrect it
+    store.add(Task(task_id="t2", prompt="x", status="queued"))
+    assert store.transition("t2", ("queued",), "cancelled") \
+        == ("cancelled", True)
+    assert store.transition("t2", ("queued",), "running") \
+        == ("cancelled", False)
+
+    # cancel lands mid-generation: resolve_finished discards the result
+    store.add(Task(task_id="t3", prompt="x", status="queued"))
+    store.transition("t3", ("queued",), "running")
+    assert store.transition("t3", ("running",), "cancelling") \
+        == ("cancelling", True)
+    assert store.resolve_finished("t3", file_path="f") == "cancelled"
+    assert store.get("t3").file_path is None
+
+    # backend exception on a non-cancelled task -> failed with the error
+    store.add(Task(task_id="t4", prompt="x", status="queued"))
+    store.transition("t4", ("queued",), "running")
+    assert store.resolve_finished("t4", error="boom") == "failed"
+    assert store.get("t4").error == "boom"
+
+    # unknown id is inert
+    assert store.transition("nope", ("queued",), "running") == (None, False)
+    assert store.resolve_finished("nope") is None
