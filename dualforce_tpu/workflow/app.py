@@ -42,6 +42,10 @@ details summary{cursor:pointer;color:#3b5bdb}
 </style></head>
 <body>
 <h1>DualForce-TPU Studio</h1>
+<fieldset id="serverbox" style="display:none"><legend>Server</legend>
+<select id="server" onchange="selectServer()"></select>
+<span id="serverinfo"></span>
+</fieldset>
 <fieldset><legend>Simple mode: prompt + reference image</legend>
 <textarea id="prompt" rows="3" placeholder="describe the video + audio"></textarea>
 <input type="file" id="ref">
@@ -76,6 +80,31 @@ async function submitFull(){
   refresh();
 }
 function fmtTime(ts){ return ts ? new Date(ts*1000).toLocaleTimeString() : ''; }
+// multi-server studio mode (workflow/studio.py): /workflow/servers exists
+// only there — a plain attached server 404s and the selector stays hidden
+async function loadServers(){
+  try{
+    const r = await fetch('/workflow/servers');
+    if (!r.ok) return;
+    const js = await r.json();
+    const sel = document.getElementById('server');
+    sel.innerHTML = '';
+    js.servers.forEach(s=>{
+      const o = document.createElement('option');
+      o.value = s.name;
+      o.textContent = `${s.name} (${s.healthy ? 'up' : 'DOWN'})`;
+      o.selected = s.active;
+      sel.appendChild(o);
+    });
+    document.getElementById('serverbox').style.display = '';
+  }catch(e){/* attached single-server mode */}
+}
+async function selectServer(){
+  await fetch('/workflow/select', {method:'POST',
+    headers:{'Content-Type':'application/json'},
+    body:JSON.stringify({name:document.getElementById('server').value})});
+  refresh();
+}
 async function cancelTask(id){
   await fetch(`/v1/videos/${id}/cancel`, {method:'POST'});
   refresh();
@@ -136,7 +165,7 @@ async function refresh(){
     el.appendChild(d);
   });
 }
-setInterval(refresh, 3000); refresh();
+setInterval(refresh, 3000); loadServers(); refresh();
 </script></body></html>"""
 
 
