@@ -477,21 +477,51 @@ class MOVAPipeline:
         serving-side continuous-batching unit (the jitted sampler is batch-
         polymorphic; per-request prompts, negatives and seeds differ freely).
         """
+        state = self.prepare_state(
+            prompts, images, negative_prompts=negative_prompts, seeds=seeds,
+            height=height, width=width, num_frames=num_frames,
+            video_fps=video_fps, num_inference_steps=num_inference_steps,
+            sigma_shift=sigma_shift, visual_shift=visual_shift,
+            audio_shift=audio_shift, cfg_scale=cfg_scale, cfg_batch=cfg_batch,
+            cfg_cache_interval=cfg_cache_interval,
+            cfg_scale_bridge=cfg_scale_bridge)
+        state = self.denoise_state(state)
+        return self.finalize_state(state)
+
+    # --- resumable generation (checkpointable denoise state) -----------------
+    #
+    # The three pieces generate() is made of, exposed so a driver can run the
+    # denoise in bounded chunks with the state saved to disk between
+    # processes (e.g. to bound per-process host RSS when every host->HBM
+    # transfer pins memory, as the tunneled-TPU client does), or to resume a
+    # preempted generation. State is a plain dict of arrays + a settings
+    # dict; chunked group-offload denoise reproduces the unchunked run
+    # bit-for-bit (negative-CFG cache carried in the state).
+
+    def prepare_state(
+        self,
+        prompts: List[str],
+        images: List[np.ndarray],
+        negative_prompts: Optional[List[str]] = None,
+        seeds: Optional[List[int]] = None,
+        height: int = 352,
+        width: int = 640,
+        num_frames: int = 193,
+        video_fps: float = 24.0,
+        num_inference_steps: int = 50,
+        sigma_shift: float = 5.0,
+        visual_shift: Optional[float] = None,
+        audio_shift: Optional[float] = None,
+        cfg_scale: float = 5.0,
+        cfg_batch: bool = False,
+        cfg_cache_interval: int = 1,
+        cfg_scale_bridge: float = 0.0,
+    ) -> Dict[str, Any]:
+        """Everything before the denoise loop: prompt encode, latent init,
+        VAE encode of the first frames. Returns the denoise state dict."""
         bsz = len(prompts)
         negative_prompts = negative_prompts or [""] * bsz
         seeds = seeds or [42] * bsz
-
-        self.scheduler.set_timesteps(num_inference_steps, shift=sigma_shift)
-        if visual_shift is not None or audio_shift is not None:
-            self.scheduler.set_pair_postprocess_by_name(
-                "dual_sigma_shift",
-                visual_shift=visual_shift if visual_shift is not None else sigma_shift,
-                audio_shift=audio_shift if audio_shift is not None else sigma_shift)
-        else:
-            # the postprocess is scheduler state: clear it so a request with
-            # shifts doesn't leak its sigma columns into later plain requests
-            self.scheduler.set_pair_postprocess_by_name(None)
-        plan = build_plan(self.scheduler, self.cfg.boundary_ratio)
 
         item_keys = [jax.random.split(jax.random.PRNGKey(s)) for s in seeds]
         with self._staged("video_vae") as p:
@@ -516,17 +546,94 @@ class MOVAPipeline:
                 ctx_neg = (self.encode_prompt(negative_prompts, params=p)
                            if cfg_scale != 1.0 else None)
 
-        latents, audio_latents = self._denoise(
-            plan, latents, condition, audio_latents, ctx_pos, ctx_neg,
-            cfg_scale, video_fps, cfg_batch, cfg_cache_interval,
-            cfg_scale_bridge, ctx_len_pos=ctx_len_pos, ctx_len_neg=ctx_len_neg)
+        return {
+            "step": 0,
+            "settings": dict(
+                num_frames=num_frames, video_fps=video_fps,
+                num_inference_steps=num_inference_steps,
+                sigma_shift=sigma_shift, visual_shift=visual_shift,
+                audio_shift=audio_shift, cfg_scale=cfg_scale,
+                cfg_batch=cfg_batch, cfg_cache_interval=cfg_cache_interval,
+                cfg_scale_bridge=cfg_scale_bridge),
+            "latents": latents, "condition": condition,
+            "audio_latents": audio_latents,
+            "ctx_pos": ctx_pos, "ctx_neg": ctx_neg,
+            "ctx_len_pos": ctx_len_pos, "ctx_len_neg": ctx_len_neg,
+            "neg_cache_v": None, "neg_cache_a": None,
+        }
 
+    def _plan_for(self, s: Dict[str, Any]):
+        """Rebuild the (deterministic) sample plan from state settings."""
+        self.scheduler.set_timesteps(s["num_inference_steps"],
+                                     shift=s["sigma_shift"])
+        if s["visual_shift"] is not None or s["audio_shift"] is not None:
+            self.scheduler.set_pair_postprocess_by_name(
+                "dual_sigma_shift",
+                visual_shift=(s["visual_shift"] if s["visual_shift"]
+                              is not None else s["sigma_shift"]),
+                audio_shift=(s["audio_shift"] if s["audio_shift"]
+                             is not None else s["sigma_shift"]))
+        else:
+            # the postprocess is scheduler state: clear it so a request with
+            # shifts doesn't leak its sigma columns into later plain requests
+            self.scheduler.set_pair_postprocess_by_name(None)
+        return build_plan(self.scheduler, self.cfg.boundary_ratio)
+
+    def denoise_state(self, state: Dict[str, Any],
+                      max_steps: Optional[int] = None) -> Dict[str, Any]:
+        """Advance the denoise by up to `max_steps` scheduler steps (all
+        remaining when None). Partial ranges require offload='group' (the
+        resident/component paths compile the whole phase into one XLA loop
+        whose CFG cache can't be checkpointed mid-program)."""
+        s = state["settings"]
+        plan = self._plan_for(s)
+        n = plan.num_steps
+        start = int(state["step"])
+        stop = n if max_steps is None else min(n, start + int(max_steps))
+        if start >= stop:
+            return state
+        if self.offload != "group" and (start != 0 or stop != n):
+            raise ValueError("partial denoise_state ranges require "
+                             "offload='group'")
+        neg_cache = None
+        if state.get("neg_cache_v") is not None:
+            neg_cache = (jnp.asarray(state["neg_cache_v"]),
+                         jnp.asarray(state["neg_cache_a"]))
+        out = self._denoise(
+            plan, jnp.asarray(state["latents"]),
+            jnp.asarray(state["condition"]),
+            jnp.asarray(state["audio_latents"]),
+            state["ctx_pos"] if state["ctx_pos"] is None
+            else jnp.asarray(state["ctx_pos"]),
+            state["ctx_neg"] if state["ctx_neg"] is None
+            else jnp.asarray(state["ctx_neg"]),
+            s["cfg_scale"], s["video_fps"], s["cfg_batch"],
+            s["cfg_cache_interval"], s["cfg_scale_bridge"],
+            ctx_len_pos=state["ctx_len_pos"], ctx_len_neg=state["ctx_len_neg"],
+            step_range=(start, stop), neg_cache=neg_cache)
+        latents, audio_latents, neg_cache = out
+        state = dict(state, step=stop, latents=latents,
+                     audio_latents=audio_latents)
+        state["neg_cache_v"] = None if neg_cache is None else neg_cache[0]
+        state["neg_cache_a"] = None if neg_cache is None else neg_cache[1]
+        return state
+
+    def finalize_state(self, state: Dict[str, Any]) -> List[GenerationResult]:
+        """VAE/DAC decode + AV-duration trim (generate()'s epilogue)."""
+        s = state["settings"]
+        if int(state["step"]) < s["num_inference_steps"]:
+            raise ValueError(f"denoise incomplete: step {state['step']} of "
+                             f"{s['num_inference_steps']}")
+        latents = jnp.asarray(state["latents"])
+        audio_latents = jnp.asarray(state["audio_latents"])
+        bsz = latents.shape[0]
         results = []
         # exact AV duration: the audio latent length was rounded UP to the
         # hop grid (prepare_audio_latents), so trim the decoded waveform to
         # sr * T / fps samples — keeps the muxed audio track the same length
         # as the video
-        num_samples = int(self.cfg.audio_vae.sample_rate * num_frames / video_fps)
+        num_samples = int(self.cfg.audio_vae.sample_rate * s["num_frames"]
+                          / s["video_fps"])
         # stage the VAEs ONCE around the whole batch (offload mode would
         # otherwise pay host->HBM weight transfers per item)
         with self._staged("video_vae", "audio_vae") as p:
@@ -536,12 +643,19 @@ class MOVAPipeline:
                     p, latents[i:i + 1], audio_latents[i:i + 1])
                 results.append(GenerationResult(
                     video=video, audio=audio[:num_samples],
-                    sample_rate=self.cfg.audio_vae.sample_rate, fps=video_fps))
+                    sample_rate=self.cfg.audio_vae.sample_rate,
+                    fps=s["video_fps"]))
         return results
 
     def _denoise(self, plan, latents, condition, audio_latents, ctx_pos,
                  ctx_neg, cfg_scale, video_fps, cfg_batch, cfg_cache_interval,
-                 cfg_scale_bridge=0.0, ctx_len_pos=None, ctx_len_neg=None):
+                 cfg_scale_bridge=0.0, ctx_len_pos=None, ctx_len_neg=None,
+                 step_range=None, neg_cache=None):
+        """Returns (latents, audio_latents, neg_cache_out). step_range
+        restricts to scheduler steps [a, b) (group offload only); neg_cache
+        seeds the CFG negative cache when resuming mid-phase."""
+        rng_a, rng_b = step_range if step_range is not None \
+            else (0, plan.num_steps)
         vcfg = self.cfg.video_dit
         pt, ph, pw = vcfg.patch_size
         grid = (latents.shape[2] // pt, latents.shape[3] // ph,
@@ -569,11 +683,12 @@ class MOVAPipeline:
                                     cfg_cache_interval=cfg_cache_interval,
                                     cfg_scale_bridge=cfg_scale_bridge)
             with self._sharding_hints():
-                return run(
+                latents, audio_latents = run(
                     self.params["video_dit"], self.params.get("video_dit_2"),
                     self.params["audio_dit"], self.params["bridge"],
                     latents, condition, audio_latents, ctx_pos, ctx_neg,
                     ctx_len_pos, ctx_len_neg, rope_pack)
+            return latents, audio_latents, None
 
         # two expert phases as separate jitted programs; only the active
         # 14B tower is HBM-resident (pipeline_mova.py:403-419 behavior)
@@ -585,10 +700,16 @@ class MOVAPipeline:
             # are fully HBM-resident (reference --offload group)
             from dualforce_tpu.diffusion.streamed import denoise_streamed
 
-            for tower, start, stop in phases:
+            cache_out = None
+            for tower, p0, p1 in phases:
+                start, stop = max(p0, rng_a), min(p1, rng_b)
                 if stop <= start:
                     continue
-                latents, audio_latents = denoise_streamed(
+                # the incoming cache applies only when resuming MID-phase:
+                # at a tower switch (start == p0) the other expert's
+                # predictions must not seed this one's CFG cache
+                carry = neg_cache if (start == rng_a and start > p0) else None
+                latents, audio_latents, cache_out = denoise_streamed(
                     self.params[tower], self.params["audio_dit"],
                     self.params["bridge"], self.cfg,
                     latents, condition, audio_latents, ctx_pos, ctx_neg,
@@ -601,8 +722,11 @@ class MOVAPipeline:
                     cfg_scale_bridge=cfg_scale_bridge,
                     ctx_len_pos=ctx_len_pos, ctx_len_neg=ctx_len_neg,
                     progress_fn=self._progress_fn,
-                    resident_small=self.offload_resident_small)
-            return latents, audio_latents
+                    resident_small=self.offload_resident_small,
+                    neg_cache=carry, return_neg_cache=True)
+            if cache_out is not None and cache_out[0] is None:
+                cache_out = None
+            return latents, audio_latents, cache_out
         with self._staged("audio_dit", "bridge") as shared:
             for tower, start, stop in phases:
                 if stop <= start:
@@ -616,7 +740,7 @@ class MOVAPipeline:
                         p[tower], shared["audio_dit"], shared["bridge"],
                         latents, condition, audio_latents, ctx_pos,
                         ctx_neg, ctx_len_pos, ctx_len_neg, rope_pack)
-        return latents, audio_latents
+        return latents, audio_latents, None
 
     # --- full generation ----------------------------------------------------
     def __call__(

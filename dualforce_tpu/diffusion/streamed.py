@@ -269,11 +269,19 @@ def denoise_streamed(
     ctx_len_neg=None,
     progress_fn=None,
     resident_small: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    neg_cache: Optional[Tuple[Any, Any]] = None,
+    return_neg_cache: bool = False,
+):
     """Steps [start, stop) with the active tower's blocks streamed from host
     RAM in layer groups. Semantics (CFG, negative-cache, dual CFG, Euler
     updates) mirror sampler.denoise_loop exactly; the loop runs in Python so
-    the negative-pass cache is plain host control flow."""
+    the negative-pass cache is plain host control flow.
+
+    `neg_cache` seeds the CFG negative-prediction cache (the (v, a) pair a
+    previous [.., start) range returned via `return_neg_cache=True`) so a
+    range split at an arbitrary step reproduces the unsplit run bit-for-bit —
+    without it the first step of the range forces a cache refresh (correct at
+    a tower switch, where the cache from the other expert must not leak)."""
     use_cfg = (cfg_scale != 1.0) and (ctx_neg is not None)
     use_dual = cfg_scale_bridge != 0.0
     if use_cfg and cfg_batch and cfg_cache_interval > 1:
@@ -337,7 +345,7 @@ def denoise_streamed(
     pair_t = plan.pair_timesteps
     sig_v, sig_a = plan.sigmas_visual, plan.sigmas_audio
     lat, alat = latents, audio_latents
-    v_negc = a_negc = None
+    v_negc, a_negc = neg_cache if neg_cache is not None else (None, None)
 
     for i in range(start, stop):
         t = jnp.full((b,), float(pair_t[i, 0]), jnp.float32)
@@ -362,9 +370,10 @@ def denoise_streamed(
             v, a = run(ctx_pos, model_in, alat, t, at, ctx_len=ctx_len_pos)
             v_pos, a_pos = v.astype(jnp.float32), a.astype(jnp.float32)
             # refresh cadence matches sampler.denoise_loop's predict_cached:
-            # global-step modulus, plus a forced refresh at the phase start
+            # global-step modulus; the phase-start refresh falls out of the
+            # empty cache (callers pass neg_cache=None at a tower switch)
             refresh = (v_negc is None or cfg_cache_interval <= 1
-                       or i % cfg_cache_interval == 0 or i == start)
+                       or i % cfg_cache_interval == 0)
             if refresh:
                 vn, an = run(ctx_neg, model_in, alat, t, at,
                              ctx_len=ctx_len_neg)
@@ -385,4 +394,6 @@ def denoise_streamed(
                            float(sig_a[i + 1] - sig_a[i]))
         if progress_fn is not None:
             progress_fn(i + 1, plan.num_steps)
+    if return_neg_cache:
+        return lat, alat, (v_negc, a_negc)
     return lat, alat

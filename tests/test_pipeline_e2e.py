@@ -354,3 +354,48 @@ def test_warmup_on_cp_mesh():
     assert np.max(np.abs(ref.video.astype(np.int16)
                          - got.video.astype(np.int16))) <= 1
     np.testing.assert_allclose(ref.audio, got.audio, atol=1e-4)
+
+
+def test_resumable_chunked_generation_matches():
+    """prepare_state / denoise_state(chunks) / finalize_state across
+    simulated process restarts (state round-tripped through host numpy)
+    must reproduce the one-shot __call__ bit-for-bit — incl. the CFG
+    negative-cache carry (cfg_cache_interval=2 with chunk boundaries that
+    land mid-cache-window) and the expert-switch cache reset."""
+    cfg = tiny_test_config()
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+    host_params = jax.tree.map(np.asarray, params)
+    image = np.random.default_rng(5).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    kw = dict(height=32, width=32, num_frames=5, num_inference_steps=5,
+              cfg_scale=5.0, cfg_cache_interval=2)
+
+    pipe = MOVAPipeline(cfg, host_params, tokenizer=FakeTokenizer(),
+                        compute_dtype=jax.numpy.float32, attn_impl="ref",
+                        offload="group", offload_group_size=1)
+    one = pipe("a fox drumming", image, seed=3, **kw)
+
+    st = pipe.prepare_state(["a fox drumming"], [image], seeds=[3], **kw)
+
+    def roundtrip(s):
+        # simulate save/load: every array leaves the device as numpy
+        out = {}
+        for k, v in s.items():
+            if k == "settings":
+                out[k] = dict(v)
+            elif v is None or isinstance(v, (int, float)):
+                out[k] = v
+            else:
+                out[k] = np.asarray(v)
+        return out
+
+    st = roundtrip(st)
+    sizes = [2, 1, 2]  # boundaries at steps 2 and 3 — mid cache window
+    for n in sizes:
+        pipe2 = MOVAPipeline(cfg, host_params, tokenizer=FakeTokenizer(),
+                             compute_dtype=jax.numpy.float32, attn_impl="ref",
+                             offload="group", offload_group_size=1)
+        st = roundtrip(pipe2.denoise_state(st, max_steps=n))
+    assert st["step"] == 5
+    res = pipe.finalize_state(st)[0]
+    np.testing.assert_array_equal(res.video, one.video)
+    np.testing.assert_array_equal(res.audio, one.audio)

@@ -164,3 +164,55 @@ def test_pipeline_generate_group_offload():
     assert np.mean(np.abs(r_group.video.astype(int) -
                           r_none.video.astype(int))) < 1.0
     np.testing.assert_allclose(r_group.audio, r_none.audio, atol=1e-4)
+
+
+def test_e2e_driver_pass_schedule():
+    """Chunk planning used by the 720p driver's multi-process mode: pass
+    counts follow the cfg-cache cadence with cache carry (refresh at step 0,
+    every k steps, and at the expert boundary), and greedy chunking never
+    exceeds the per-process pass budget."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "run_720p_e2e", os.path.join(os.path.dirname(__file__), "..",
+                                     "tools", "run_720p_e2e.py"))
+    drv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(drv)
+
+    # k=3, boundary at 4: refreshes at 0, 3 (cadence), 4 (boundary reset), 6
+    counts = drv.pass_schedule(8, 3, 4)
+    assert counts == [2, 1, 1, 2, 2, 1, 2, 1]
+    chunks = drv.split_chunks(counts, 3)
+    assert chunks[0][0] == 0 and chunks[-1][1] == 8
+    assert [a for a, b in chunks[1:]] == [b for a, b in chunks[:-1]]
+    for a, b in chunks:
+        assert sum(counts[a:b]) <= 3
+    # no-cache mode: every step is 2 passes
+    assert drv.pass_schedule(4, 1, 99) == [2, 2, 2, 2]
+    # single chunk when the budget covers everything
+    assert drv.split_chunks(counts, 100) == [(0, 8)]
+
+
+def test_e2e_driver_state_roundtrip(tmp_path):
+    import importlib.util
+    import os
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "run_720p_e2e", os.path.join(os.path.dirname(__file__), "..",
+                                     "tools", "run_720p_e2e.py"))
+    drv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(drv)
+
+    state = {"step": 3, "settings": {"cfg_scale": 5.0, "video_fps": 24.0},
+             "latents": np.arange(12, dtype=np.float32).reshape(3, 4),
+             "ctx_neg": None, "neg_cache_v": np.ones((2, 2), np.float32)}
+    p = str(tmp_path / "state.npz")
+    drv.save_state(state, p)
+    got = drv.load_state(p)
+    assert got["step"] == 3 and got["settings"] == state["settings"]
+    np.testing.assert_array_equal(got["latents"], state["latents"])
+    np.testing.assert_array_equal(got["neg_cache_v"], state["neg_cache_v"])
+    assert got["ctx_neg"] is None and got["neg_cache_a"] is None

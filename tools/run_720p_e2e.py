@@ -204,6 +204,66 @@ def make_reference_frame(height: int, width: int) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
+def save_state(state, path: str):
+    """Denoise state -> one .npz (arrays) + embedded settings json."""
+    arrays = {"__settings__": np.frombuffer(
+        json.dumps(state["settings"]).encode(), np.uint8),
+        "__step__": np.int64(state["step"])}
+    for k, v in state.items():
+        if k in ("settings", "step") or v is None:
+            continue
+        arrays[k] = np.asarray(v)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:  # file object: savez won't append .npz
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_state(path: str):
+    with np.load(path) as z:
+        state = {"settings": json.loads(bytes(z["__settings__"]).decode()),
+                 "step": int(z["__step__"])}
+        for k in z.files:
+            if not k.startswith("__"):
+                state[k] = z[k]
+    for k in ("ctx_neg", "ctx_len_pos", "ctx_len_neg",
+              "neg_cache_v", "neg_cache_a"):
+        state.setdefault(k, None)
+    return state
+
+
+def pass_schedule(steps: int, cache_interval: int, boundary: int,
+                  use_cfg: bool = True):
+    """Per-step forward-pass counts under cache carry: pos pass always, neg
+    pass on the cache cadence (i % k == 0) and whenever the cache is empty —
+    at step 0 and at the expert switch (pipeline resets it there)."""
+    counts = []
+    cached = False
+    for i in range(steps):
+        if i == boundary:
+            cached = False
+        c = 1
+        if use_cfg and (not cached or cache_interval <= 1
+                        or i % cache_interval == 0):
+            c += 1
+            cached = True
+        counts.append(c)
+    return counts
+
+
+def split_chunks(counts, max_passes: int):
+    """Greedy [a, b) step ranges with at most max_passes forward passes."""
+    chunks = []
+    a, acc = 0, 0
+    for i, c in enumerate(counts):
+        if acc and acc + c > max_passes:
+            chunks.append((a, i))
+            a, acc = i, 0
+        acc += c
+    chunks.append((a, len(counts)))
+    return chunks
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=720)
@@ -224,12 +284,32 @@ def main():
     ap.add_argument("--vae_encode_dtype", type=str, default="bf16",
                     help="VAE encoder compute dtype; f32 needs ~18 GB HBM "
                          "at 720p (OOM on a 16 GB v5e), bf16 fits")
+    ap.add_argument("--chunk_passes", type=int, default=3,
+                    help="max streamed forward passes per PROCESS: the "
+                         "tunneled-TPU client pins a host copy of every "
+                         "h2d transfer (~18 GB/pass at 720p, measured), so "
+                         "the denoise runs in subprocess chunks with the "
+                         "state checkpointed between them (bit-identical to "
+                         "one process — tested). 0 = single process")
+    ap.add_argument("--state_dir", type=str, default=None,
+                    help="where chunked mode keeps state.npz (default: "
+                         "alongside --output)")
+    ap.add_argument("--worker_range", type=str, default=None,
+                    help=argparse.SUPPRESS)  # internal: chunk worker "a:b"
+    ap.add_argument("--worker_finalize", action="store_true",
+                    help=argparse.SUPPRESS)  # internal: decode+mux worker
     ap.add_argument("--dry", action="store_true",
                     help="tiny config on CPU — code-path smoke test")
     args = ap.parse_args()
 
+    if args.chunk_passes > 0 and not (args.worker_range
+                                      or args.worker_finalize or args.dry):
+        return orchestrate(args)
+
     if args.dry:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # force, not setdefault: the axon image pre-sets JAX_PLATFORMS=axon,
+        # and a "dry" smoke run must never grab the real chip
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
     import jax.numpy as jnp
@@ -271,6 +351,11 @@ def main():
                         offload_resident_small=args.resident_small,
                         vae_encode_dtype=args.vae_encode_dtype)
 
+    state_dir = args.state_dir or (os.path.dirname(args.output) or ".")
+    os.makedirs(state_dir, exist_ok=True)
+    state_path = os.path.join(state_dir, "e2e_state.npz")
+    steps_log = os.path.join(state_dir, "e2e_steps.jsonl")
+
     step_times = []
 
     def _progress(step, total):
@@ -279,6 +364,8 @@ def main():
         _progress.last = now
         step_times.append(round(dt, 2))
         print(f"[e2e] step {step}/{total} ({dt:.1f}s)", flush=True)
+        with open(steps_log, "a") as f:
+            f.write(json.dumps({"step": step, "dt_s": round(dt, 2)}) + "\n")
 
     _progress.last = None
     pipe.progress_cb = _progress
@@ -286,16 +373,76 @@ def main():
     frame = make_reference_frame(args.height, args.width)
     prompt = ("tok1 tok2 tok3 a calm ocean at sunset, gentle waves, "
               "seagulls calling")
+    gen_kw = dict(height=args.height, width=args.width,
+                  num_frames=args.num_frames,
+                  num_inference_steps=args.steps,
+                  cfg_cache_interval=args.cfg_cache_interval)
+
+    def summarize(result, out, extra_timings):
+        return {
+            "metric": "mova720p_e2e",
+            "geometry": f"{args.width}x{args.height}x{args.num_frames}",
+            "steps": args.steps,
+            "cfg_cache_interval": args.cfg_cache_interval,
+            "offload": f"group:{args.group_size}"
+                       + (":resident_small" if args.resident_small else ""),
+            "weight_storage": "fp8(e4m3) kernels + bf16 rest" if not args.dry
+                              else "bf16",
+            "host_params_gib": round(host_gb, 1),
+            "video_shape": list(np.asarray(result.video).shape),
+            "audio_samples": int(np.asarray(result.audio).shape[-1]),
+            "output": out,
+            "backend": jax.devices()[0].platform,
+            "timings": dict(timings, **extra_timings),
+            "step_times_s": step_times,
+        }
+
+    if args.worker_range:
+        a, b = (int(x) for x in args.worker_range.split(":"))
+        if a == 0 and not os.path.exists(state_path):
+            t0 = time.time()
+            state = pipe.prepare_state([prompt], [frame], seeds=[args.seed],
+                                       **gen_kw)
+            print(f"[e2e] prepare_state: {time.time() - t0:.1f}s", flush=True)
+        else:
+            state = load_state(state_path)
+        print(f"[e2e] worker steps [{a}, {b}) of {args.steps} "
+              f"backend={jax.devices()[0].platform}", flush=True)
+        t0 = time.time()
+        state = pipe.denoise_state(state, max_steps=b - a)
+        print(f"[e2e] worker [{a}, {b}): {time.time() - t0:.1f}s  "
+              f"HBM in use {hbm_in_use_gb():.1f} GB", flush=True)
+        state = {k: (np.asarray(v) if k not in ("settings", "step")
+                     and v is not None else v) for k, v in state.items()}
+        save_state(state, state_path)
+        return
+
+    if args.worker_finalize:
+        state = load_state(state_path)
+        t0 = time.time()
+        result = pipe.finalize_state(state)[0]
+        timings["decode_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        out = save_video_with_audio(args.output, result.video, result.audio,
+                                    fps=result.fps,
+                                    sample_rate=result.sample_rate)
+        timings["mux_s"] = round(time.time() - t0, 1)
+        if os.path.exists(steps_log):
+            with open(steps_log) as f:
+                step_times[:] = [json.loads(ln)["dt_s"] for ln in f
+                                 if ln.strip()]
+        summary = summarize(result, out, {})
+        with open(os.path.join(state_dir, "e2e_summary.json"), "w") as f:
+            json.dump(summary, f)
+        print(json.dumps(summary))
+        return
 
     print(f"[e2e] generating {args.width}x{args.height} x{args.num_frames}f "
           f"steps={args.steps} cfg_cache={args.cfg_cache_interval} "
           f"group={args.group_size} backend={jax.devices()[0].platform}")
     t0 = time.time()
     result = pipe(prompt=prompt, image=frame, negative_prompt="",
-                  seed=args.seed, height=args.height, width=args.width,
-                  num_frames=args.num_frames,
-                  num_inference_steps=args.steps,
-                  cfg_cache_interval=args.cfg_cache_interval)
+                  seed=args.seed, **gen_kw)
     timings["generate_s"] = round(time.time() - t0, 1)
     print(f"[e2e] generate: {timings['generate_s']}s  "
           f"HBM in use {hbm_in_use_gb():.1f} GB")
@@ -305,24 +452,66 @@ def main():
                                 fps=result.fps,
                                 sample_rate=result.sample_rate)
     timings["mux_s"] = round(time.time() - t0, 1)
+    print(json.dumps(summarize(result, out, {})))
 
-    summary = {
-        "metric": "mova720p_e2e",
-        "geometry": f"{args.width}x{args.height}x{args.num_frames}",
-        "steps": args.steps,
-        "cfg_cache_interval": args.cfg_cache_interval,
-        "offload": f"group:{args.group_size}"
-                   + (":resident_small" if args.resident_small else ""),
-        "weight_storage": "fp8(e4m3) kernels + bf16 rest" if not args.dry
-                          else "bf16",
-        "host_params_gib": round(host_gb, 1),
-        "video_shape": list(np.asarray(result.video).shape),
-        "audio_samples": int(np.asarray(result.audio).shape[-1]),
-        "output": out,
-        "backend": jax.devices()[0].platform,
-        "timings": timings,
-        "step_times_s": step_times,
-    }
+
+def orchestrate(args):
+    """Parent: split the denoise into <=chunk_passes-pass subprocesses (the
+    tunnel client's per-transfer host pinning dies with each process), then
+    a finalize subprocess for decode+mux. Bit-identical to one process: the
+    CFG negative cache rides in the checkpointed state."""
+    import subprocess
+
+    from dualforce_tpu.config import MOVAConfig
+    from dualforce_tpu.diffusion.flow_match import FlowMatchPairScheduler
+    from dualforce_tpu.diffusion.sampler import build_plan
+
+    cfg = MOVAConfig()
+    sched = FlowMatchPairScheduler(cfg.scheduler)
+    sched.set_timesteps(args.steps, shift=5.0)
+    boundary = build_plan(sched, cfg.boundary_ratio).boundary_step
+    counts = pass_schedule(args.steps, args.cfg_cache_interval, boundary)
+    chunks = split_chunks(counts, args.chunk_passes)
+
+    state_dir = args.state_dir or (os.path.dirname(args.output) or ".")
+    os.makedirs(state_dir, exist_ok=True)
+    for p in ("e2e_state.npz", "e2e_steps.jsonl", "e2e_summary.json"):
+        if os.path.exists(os.path.join(state_dir, p)):
+            os.remove(os.path.join(state_dir, p))
+
+    base = [sys.executable, os.path.abspath(__file__),
+            "--state_dir", state_dir] + [
+        f for pair in (
+            ("--height", args.height), ("--width", args.width),
+            ("--num_frames", args.num_frames), ("--steps", args.steps),
+            ("--cfg_cache_interval", args.cfg_cache_interval),
+            ("--group_size", args.group_size),
+            ("--attn_type", args.attn_type), ("--seed", args.seed),
+            ("--output", args.output),
+            ("--vae_encode_dtype", args.vae_encode_dtype))
+        for f in (pair[0], str(pair[1]))]
+    if args.params_cache:
+        base += ["--params_cache", args.params_cache]
+    if args.resident_small:
+        base += ["--resident_small"]
+
+    total_passes = sum(counts)
+    print(f"[e2e] chunked run: {len(chunks)} denoise workers + finalize "
+          f"({total_passes} passes, boundary step {boundary}, "
+          f"chunks {chunks})", flush=True)
+    t0 = time.time()
+    for a, b in chunks:
+        rc = subprocess.run(base + ["--worker_range", f"{a}:{b}"]).returncode
+        if rc != 0:
+            raise SystemExit(f"worker [{a}, {b}) failed rc={rc}")
+    rc = subprocess.run(base + ["--worker_finalize"]).returncode
+    if rc != 0:
+        raise SystemExit(f"finalize worker failed rc={rc}")
+    with open(os.path.join(state_dir, "e2e_summary.json")) as f:
+        summary = json.load(f)
+    summary["timings"]["wall_total_s"] = round(time.time() - t0, 1)
+    summary["chunked"] = {"chunk_passes": args.chunk_passes,
+                          "workers": len(chunks)}
     print(json.dumps(summary))
 
 
