@@ -88,14 +88,19 @@ async function loadServers(){
     if (!r.ok) return;
     const js = await r.json();
     const sel = document.getElementById('server');
-    sel.innerHTML = '';
-    js.servers.forEach(s=>{
-      const o = document.createElement('option');
-      o.value = s.name;
-      o.textContent = `${s.name} (${s.healthy ? 'up' : 'DOWN'})`;
-      o.selected = s.active;
-      sel.appendChild(o);
-    });
+    if (document.activeElement !== sel){  // don't yank an open dropdown
+      sel.innerHTML = '';
+      js.servers.forEach(s=>{
+        const o = document.createElement('option');
+        o.value = s.name;
+        o.textContent = `${s.name} (${s.healthy ? 'up' : 'DOWN'})`;
+        o.selected = s.active;
+        sel.appendChild(o);
+      });
+    }
+    const up = js.servers.filter(s=>s.healthy).length;
+    document.getElementById('serverinfo').textContent =
+      `${up}/${js.servers.length} healthy`;
     document.getElementById('serverbox').style.display = '';
   }catch(e){/* attached single-server mode */}
 }
@@ -165,7 +170,8 @@ async function refresh(){
     el.appendChild(d);
   });
 }
-setInterval(refresh, 3000); loadServers(); refresh();
+setInterval(refresh, 3000); setInterval(loadServers, 9000);
+loadServers(); refresh();
 </script></body></html>"""
 
 

@@ -96,7 +96,11 @@ class Studio:
             for (n, u), h in zip(self.servers.items(), health)]})
 
     async def _select(self, request):
-        body = await request.json()
+        try:
+            body = await request.json()
+        except Exception:  # noqa: BLE001 — empty/non-JSON body
+            return web.json_response({"error": "body must be JSON "
+                                      "{\"name\": ...}"}, status=400)
         name = body.get("name")
         if name not in self.servers:
             return web.json_response({"error": f"unknown server {name!r}"},
@@ -110,14 +114,28 @@ class Studio:
         headers = {k: v for k, v in request.headers.items()
                    if k.lower() not in _HOP_BY_HOP}
         body = await request.read() if request.can_read_body else None
+        resp = None
         try:
             async with self._client().request(
                     request.method, url, headers=headers, data=body) as r:
+                # content-encoding also dropped: the client session auto-
+                # decompresses, so forwarding it would make the browser
+                # re-decode already-plain bytes
+                skip = _HOP_BY_HOP | {"content-encoding"}
                 out_headers = {k: v for k, v in r.headers.items()
-                               if k.lower() not in _HOP_BY_HOP}
-                return web.Response(body=await r.read(), status=r.status,
-                                    headers=out_headers)
+                               if k.lower() not in skip}
+                # stream through (video downloads are hundreds of MB;
+                # never buffer the full upstream body)
+                resp = web.StreamResponse(status=r.status,
+                                          headers=out_headers)
+                await resp.prepare(request)
+                async for chunk in r.content.iter_chunked(1 << 16):
+                    await resp.write(chunk)
+                await resp.write_eof()
+                return resp
         except Exception as e:  # noqa: BLE001 — upstream down -> 502
+            if resp is not None and resp.prepared:
+                raise  # headers already sent; can only abort the stream
             return web.json_response(
                 {"error": f"upstream {self.active!r} unreachable: {e}"},
                 status=502)

@@ -216,3 +216,47 @@ def test_e2e_driver_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(got["latents"], state["latents"])
     np.testing.assert_array_equal(got["neg_cache_v"], state["neg_cache_v"])
     assert got["ctx_neg"] is None and got["neg_cache_a"] is None
+
+
+def test_e2e_driver_state_roundtrip_bf16(tmp_path):
+    """Regression: real (non-dry) runs carry bf16 ctx embeddings; np.savez
+    silently serializes ml_dtypes descrs as raw void ('|V2'), which then
+    crashed denoise_state in the next chunk worker. save_state must encode
+    the true dtype and load_state must rebuild it bit-exactly."""
+    import importlib.util
+    import os
+
+    import ml_dtypes
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "run_720p_e2e", os.path.join(os.path.dirname(__file__), "..",
+                                     "tools", "run_720p_e2e.py"))
+    drv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(drv)
+
+    rng = np.random.default_rng(0)
+    ctx = rng.standard_normal((1, 8, 16)).astype(ml_dtypes.bfloat16)
+    state = {"step": 1, "settings": {"cfg_scale": 5.0},
+             "latents": rng.standard_normal((2, 3)).astype(np.float32),
+             "ctx_pos": ctx, "ctx_neg": None}
+    p = str(tmp_path / "state.npz")
+    drv.save_state(state, p)
+    got = drv.load_state(p)
+    assert got["ctx_pos"].dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        got["ctx_pos"].view(np.uint16), ctx.view(np.uint16))
+    # jnp must accept the rebuilt array (the original failure mode)
+    import jax.numpy as jnp
+    jnp.asarray(got["ctx_pos"]).block_until_ready()
+
+    # a state file written by the PRE-fix save_state (descr lost to '|V2')
+    # must still load: the itemsize-2 fallback views it as bf16
+    legacy = {"__settings__": np.frombuffer(b'{"cfg_scale": 5.0}', np.uint8),
+              "__step__": np.int64(1), "ctx_pos": ctx}
+    with open(p, "wb") as f:
+        np.savez(f, **legacy)
+    got = drv.load_state(p)
+    assert got["ctx_pos"].dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        got["ctx_pos"].view(np.uint16), ctx.view(np.uint16))

@@ -205,14 +205,25 @@ def make_reference_frame(height: int, width: int) -> np.ndarray:
 
 
 def save_state(state, path: str):
-    """Denoise state -> one .npz (arrays) + embedded settings json."""
+    """Denoise state -> one .npz (arrays) + embedded settings json.
+
+    numpy can't serialize ml_dtypes descrs (bf16/fp8 savez round-trips as
+    raw void '|Vn', same issue save_params_cache works around) — custom-
+    dtype leaves are stored as uint8 views with their true dtype/shape in
+    an embedded manifest so load_state rebuilds them bit-exactly."""
     arrays = {"__settings__": np.frombuffer(
         json.dumps(state["settings"]).encode(), np.uint8),
         "__step__": np.int64(state["step"])}
+    meta = {}
     for k, v in state.items():
         if k in ("settings", "step") or v is None:
             continue
-        arrays[k] = np.asarray(v)
+        a = np.asarray(v)
+        if a.dtype.kind == "V":  # ml_dtypes custom dtype (bf16/fp8)
+            meta[k] = {"dtype": a.dtype.name, "shape": list(a.shape)}
+            a = np.ascontiguousarray(a).view(np.uint8).reshape(-1)
+        arrays[k] = a
+    arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:  # file object: savez won't append .npz
         np.savez(f, **arrays)
@@ -220,12 +231,28 @@ def save_state(state, path: str):
 
 
 def load_state(path: str):
+    import ml_dtypes
+
+    dt = {"bfloat16": ml_dtypes.bfloat16,
+          "float8_e4m3fn": ml_dtypes.float8_e4m3fn}
     with np.load(path) as z:
+        meta = (json.loads(bytes(z["__meta__"]).decode())
+                if "__meta__" in z.files else {})
         state = {"settings": json.loads(bytes(z["__settings__"]).decode()),
                  "step": int(z["__step__"])}
         for k in z.files:
-            if not k.startswith("__"):
-                state[k] = z[k]
+            if k.startswith("__"):
+                continue
+            a = z[k]
+            if k in meta:
+                m = meta[k]
+                a = a.view(dt[m["dtype"]]).reshape(m["shape"])
+            elif a.dtype.kind == "V":
+                # state written by an older save_state: the descr was lost
+                # in savez; the only 2-byte custom dtype in a state is bf16
+                a = a.view(ml_dtypes.bfloat16 if a.dtype.itemsize == 2
+                           else ml_dtypes.float8_e4m3fn)
+            state[k] = a
     for k in ("ctx_neg", "ctx_len_pos", "ctx_len_neg",
               "neg_cache_v", "neg_cache_a"):
         state.setdefault(k, None)
@@ -360,12 +387,15 @@ def main():
 
     def _progress(step, total):
         now = time.time()
-        dt = now - (_progress.last or now)
+        # dt unknown until a reference point exists (workers set .last just
+        # before denoise so their first step is real wall incl. compile)
+        dt = round(now - _progress.last, 2) if _progress.last else None
         _progress.last = now
-        step_times.append(round(dt, 2))
-        print(f"[e2e] step {step}/{total} ({dt:.1f}s)", flush=True)
+        if dt is not None:
+            step_times.append(dt)
+        print(f"[e2e] step {step}/{total} ({dt or 0:.1f}s)", flush=True)
         with open(steps_log, "a") as f:
-            f.write(json.dumps({"step": step, "dt_s": round(dt, 2)}) + "\n")
+            f.write(json.dumps({"step": step, "dt_s": dt}) + "\n")
 
     _progress.last = None
     pipe.progress_cb = _progress
@@ -409,6 +439,7 @@ def main():
         print(f"[e2e] worker steps [{a}, {b}) of {args.steps} "
               f"backend={jax.devices()[0].platform}", flush=True)
         t0 = time.time()
+        _progress.last = t0  # first step's dt = real wall incl. compile
         state = pipe.denoise_state(state, max_steps=b - a)
         print(f"[e2e] worker [{a}, {b}): {time.time() - t0:.1f}s  "
               f"HBM in use {hbm_in_use_gb():.1f} GB", flush=True)
@@ -429,8 +460,9 @@ def main():
         timings["mux_s"] = round(time.time() - t0, 1)
         if os.path.exists(steps_log):
             with open(steps_log) as f:
-                step_times[:] = [json.loads(ln)["dt_s"] for ln in f
-                                 if ln.strip()]
+                step_times[:] = [d for ln in f if ln.strip()
+                                 for d in [json.loads(ln)["dt_s"]]
+                                 if d is not None]
         summary = summarize(result, out, {})
         with open(os.path.join(state_dir, "e2e_summary.json"), "w") as f:
             json.dump(summary, f)
@@ -478,6 +510,12 @@ def orchestrate(args):
     for p in ("e2e_state.npz", "e2e_steps.jsonl", "e2e_summary.json"):
         if os.path.exists(os.path.join(state_dir, p)):
             os.remove(os.path.join(state_dir, p))
+
+    if not args.params_cache:
+        # each worker is a fresh process; without a cache every one would
+        # re-synthesize the 38.8B-param tree (~17 min) — worker 1 fills
+        # this dir, the rest mmap it
+        args.params_cache = os.path.join(state_dir, "params_cache")
 
     base = [sys.executable, os.path.abspath(__file__),
             "--state_dir", state_dir] + [
