@@ -164,3 +164,53 @@ def test_proxy_upstream_down_returns_502(tmp_path):
         assert js["servers"][0]["healthy"] is False
     finally:
         loop.call_soon_threadsafe(loop.stop)
+
+
+def test_proxy_streams_large_and_gzip_bodies(tmp_path):
+    """The proxy must stream upstream bodies (video downloads are hundreds
+    of MB — never buffered whole) byte-exactly, and must drop the upstream
+    content-encoding header: the client session already decompressed the
+    body, so forwarding it would make the browser re-decode plain bytes.
+    Bad /workflow/select bodies are a 400, not a 500."""
+    import gzip
+    import urllib.error
+
+    from aiohttp import web
+
+    big = bytes(range(256)) * (4 << 12)  # 4 MiB
+
+    async def big_handler(request):
+        return web.Response(body=big,
+                            content_type="application/octet-stream")
+
+    async def gz_handler(request):
+        payload = gzip.compress(json.dumps({"ok": True}).encode())
+        return web.Response(body=payload, content_type="application/json",
+                            headers={"Content-Encoding": "gzip"})
+
+    up = web.Application()
+    up.router.add_get("/v1/big", big_handler)
+    up.router.add_get("/v1/gz", gz_handler)
+    h1 = {}
+    loop1 = _run_app(up, h1)
+    studio = Studio({"up": f"http://127.0.0.1:{h1['port']}"})
+    h2 = {}
+    loop2 = _run_app(studio.app, h2)
+    base = f"http://127.0.0.1:{h2['port']}"
+    try:
+        with urllib.request.urlopen(base + "/v1/big", timeout=30) as r:
+            assert r.read() == big
+
+        with urllib.request.urlopen(base + "/v1/gz", timeout=30) as r:
+            assert r.headers.get("Content-Encoding") is None
+            assert json.loads(r.read()) == {"ok": True}
+
+        req = urllib.request.Request(
+            base + "/workflow/select", data=b"not json",
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 400
+    finally:
+        loop1.call_soon_threadsafe(loop1.stop)
+        loop2.call_soon_threadsafe(loop2.stop)
