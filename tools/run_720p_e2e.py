@@ -339,6 +339,12 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
+
+    if args.dry:
+        # the axon sitecustomize re-asserts its platform in-process after
+        # jax import, so the env var alone is not enough (same workaround
+        # as __graft_entry__._force_virtual_cpu)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from dualforce_tpu.config import MOVAConfig
