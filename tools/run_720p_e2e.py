@@ -321,6 +321,10 @@ def main():
     ap.add_argument("--state_dir", type=str, default=None,
                     help="where chunked mode keeps state.npz (default: "
                          "alongside --output)")
+    ap.add_argument("--compile_cache", type=str, default=None,
+                    help="jax persistent compilation cache dir (default: "
+                         "<state_dir>/compile_cache) — chunk workers after "
+                         "the first then skip the ~200 s 720p compile")
     ap.add_argument("--worker_range", type=str, default=None,
                     help=argparse.SUPPRESS)  # internal: chunk worker "a:b"
     ap.add_argument("--worker_finalize", action="store_true",
@@ -346,6 +350,14 @@ def main():
         # as __graft_entry__._force_virtual_cpu)
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+
+    if not args.dry:
+        from dualforce_tpu.utils.misc import setup_compile_cache
+
+        cache_dir = args.compile_cache or os.path.join(
+            args.state_dir or (os.path.dirname(args.output) or "."),
+            "compile_cache")
+        setup_compile_cache(cache_dir)
 
     from dualforce_tpu.config import MOVAConfig
     from dualforce_tpu.diffusion.pipeline import MOVAPipeline
@@ -539,9 +551,16 @@ def orchestrate(args):
     if args.resident_small:
         base += ["--resident_small"]
 
+    # prepare_state runs in its OWN worker: prompt/VAE-encode staging pins
+    # host copies of every module it stages, and adding denoise passes on
+    # top of that overflowed the tunnel client's pinned-buffer pool
+    # (observed: RESOURCE_EXHAUSTED on the state d2h after 3 streamed
+    # passes + prepare in one process)
+    chunks = [(0, 0)] + chunks
+
     total_passes = sum(counts)
-    print(f"[e2e] chunked run: {len(chunks)} denoise workers + finalize "
-          f"({total_passes} passes, boundary step {boundary}, "
+    print(f"[e2e] chunked run: prepare + {len(chunks) - 1} denoise workers "
+          f"+ finalize ({total_passes} passes, boundary step {boundary}, "
           f"chunks {chunks})", flush=True)
     t0 = time.time()
     for a, b in chunks:
