@@ -194,6 +194,100 @@ def load_params_cache(cfg, cache_dir: str, log=print):
     return out
 
 
+_QUANT_TOWERS = ("video_dit", "video_dit_2", "audio_dit", "bridge")
+
+
+def quantize_params_host(sub, log=print):
+    """Numpy counterpart of nn.quantize_tree_int8 (same scopes, same
+    per-out-channel symmetric scale rule) run entirely on HOST: quantizing
+    on-device would stream every tower through the tunnel once per worker
+    process (~28 GB at ~120 MB/s) just to throw the result away at exit.
+    Bit-compatible with the device path up to np/jnp rounding of absmax."""
+    from dualforce_tpu.nn import QUANT_INT8_SCOPES
+
+    def one(w):
+        w32 = np.asarray(w).astype(np.float32)
+        scale = np.maximum(
+            np.abs(w32).max(axis=-2, keepdims=True) / 127.0, 1e-12)
+        return np.round(w32 / scale).astype(np.int8), scale.astype(np.float32)
+
+    def walk(node, in_scope):
+        if isinstance(node, dict):
+            if in_scope and "kernel" in node and np.ndim(node["kernel"]) >= 2:
+                w = node["kernel"]
+                if np.ndim(w) >= 3:  # scan-stacked [L, in, out]: slice-wise
+                    qs = [one(w[i]) for i in range(w.shape[0])]
+                    q = np.stack([a for a, _ in qs])
+                    s = np.stack([b for _, b in qs])
+                else:
+                    q, s = one(w)
+                out = {"kernel_q": q, "kernel_scale": s}
+                if "bias" in node:
+                    out["bias"] = np.asarray(node["bias"])
+                return out
+            return {k: walk(v, in_scope or k in QUANT_INT8_SCOPES)
+                    for k, v in node.items()}
+        return node
+
+    return walk(sub, False)
+
+
+def save_tree_cache(params, cache_dir: str, log=print):
+    """Path-keyed host-tree cache. Unlike save_params_cache (leaf-indexed
+    against jax.eval_shape of the bf16 init), this stores the tree SHAPE
+    itself, so structure-changing transforms (int8: kernel -> kernel_q +
+    kernel_scale) round-trip. Dict-only trees (all param trees here are)."""
+    def flat(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                assert "/" not in str(k)
+                yield from flat(v, prefix + (str(k),))
+        else:
+            yield "/".join(prefix), np.asarray(node)
+
+    for mod, sub in params.items():
+        d = os.path.join(cache_dir, mod)
+        os.makedirs(d, exist_ok=True)
+        man = []
+        for i, (path, a) in enumerate(flat(sub, ())):
+            a = np.ascontiguousarray(a)
+            with open(os.path.join(d, f"{i}.bin"), "wb") as f:
+                f.write(a.view(np.uint8).reshape(-1).data)
+            man.append({"path": path, "shape": list(a.shape),
+                        "dtype": a.dtype.name})
+        with open(os.path.join(d, "tree_manifest.json"), "w") as f:
+            json.dump(man, f)
+        log(f"[cache] saved {mod} (tree): {len(man)} leaves")
+
+
+def load_tree_cache(cache_dir: str, mods=_QUANT_TOWERS, log=print):
+    import ml_dtypes
+
+    dt = {"float8_e4m3fn": ml_dtypes.float8_e4m3fn,
+          "bfloat16": ml_dtypes.bfloat16, "float32": np.float32,
+          "int8": np.int8}
+    out = {}
+    for mod in mods:
+        d = os.path.join(cache_dir, mod)
+        man_p = os.path.join(d, "tree_manifest.json")
+        if not os.path.exists(man_p):
+            return None
+        with open(man_p) as f:
+            man = json.load(f)
+        sub = {}
+        for i, m in enumerate(man):
+            raw = np.memmap(os.path.join(d, f"{i}.bin"), dtype=np.uint8,
+                            mode="r")
+            node = sub
+            keys = m["path"].split("/")
+            for k in keys[:-1]:
+                node = node.setdefault(k, {})
+            node[keys[-1]] = raw.view(dt[m["dtype"]]).reshape(m["shape"])
+        out[mod] = sub
+        log(f"[cache] loaded {mod} (tree, mmap)")
+    return out
+
+
 def make_reference_frame(height: int, width: int) -> np.ndarray:
     """Deterministic smooth test card in [-1, 1], [H, W, 3]."""
     y = np.linspace(-1, 1, height, dtype=np.float32)[:, None]
@@ -300,6 +394,12 @@ def main():
     ap.add_argument("--cfg_cache_interval", type=int, default=3)
     ap.add_argument("--group_size", type=int, default=4)
     ap.add_argument("--attn_type", type=str, default="auto")
+    ap.add_argument("--quant", type=str, default="none",
+                    choices=["none", "int8"],
+                    help="int8 pre-quantizes DiT/bridge projections on HOST "
+                         "(w8a8 serving mode, composes with --attn_type "
+                         "sage); cached next to --params_cache as "
+                         "<params_cache>_int8")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--output", type=str, default="out/720p_e2e.mp4")
     ap.add_argument("--params_cache", type=str, default=None,
@@ -384,6 +484,19 @@ def main():
         if args.params_cache:
             save_params_cache(params, args.params_cache)
     timings["synthesize_params_s"] = round(time.time() - t0, 1)
+    if args.quant == "int8":
+        t0 = time.time()
+        qdir = (args.params_cache + "_int8") if args.params_cache else None
+        qp = load_tree_cache(qdir) if qdir else None
+        if qp is None:
+            qp = {m: quantize_params_host(params[m]) for m in _QUANT_TOWERS}
+            if qdir:
+                save_tree_cache(qp, qdir)
+                qp = load_tree_cache(qdir)  # swap to mmap-backed leaves
+        params.update(qp)
+        timings["quantize_int8_s"] = round(time.time() - t0, 1)
+        print(f"[e2e] int8 tower kernels ready "
+              f"({timings['quantize_int8_s']}s)")
     host_gb = sum(l.size * l.dtype.itemsize
                   for l in jax.tree.leaves(params)) / 2**30
     print(f"[e2e] host-resident params: {host_gb:.1f} GiB "
@@ -434,6 +547,8 @@ def main():
             "cfg_cache_interval": args.cfg_cache_interval,
             "offload": f"group:{args.group_size}"
                        + (":resident_small" if args.resident_small else ""),
+            "attn": args.attn_type,
+            "quant": args.quant,
             "weight_storage": "fp8(e4m3) kernels + bf16 rest" if not args.dry
                               else "bf16",
             "host_params_gib": round(host_gb, 1),
@@ -542,7 +657,8 @@ def orchestrate(args):
             ("--num_frames", args.num_frames), ("--steps", args.steps),
             ("--cfg_cache_interval", args.cfg_cache_interval),
             ("--group_size", args.group_size),
-            ("--attn_type", args.attn_type), ("--seed", args.seed),
+            ("--attn_type", args.attn_type), ("--quant", args.quant),
+            ("--seed", args.seed),
             ("--output", args.output),
             ("--vae_encode_dtype", args.vae_encode_dtype))
         for f in (pair[0], str(pair[1]))]
