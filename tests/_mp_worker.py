@@ -20,7 +20,90 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def infer_main():
+    """Data-axis generate across processes (the reference's torchrun dp
+    inference, inference_single.py:58-71): a global batch of two items is
+    sharded one-per-process over the `data` mesh axis and driven through the
+    PRODUCTION denoise_loop (dual expert phases, CFG with cache, paired
+    Euler updates). Process 0 writes the final latents; the parent asserts
+    world=2 equals world=1."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from dualforce_tpu.parallel.mesh import create_mesh, initialize_distributed
+
+    world = int(os.environ["NUM_PROCESSES"])
+    pid = int(os.environ["PROCESS_ID"])
+    initialize_distributed()
+    assert jax.process_count() == world, (jax.process_count(), world)
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from dualforce_tpu.config import tiny_test_config
+    from dualforce_tpu.diffusion.flow_match import FlowMatchPairScheduler
+    from dualforce_tpu.diffusion.sampler import build_plan, denoise_loop
+    from dualforce_tpu.models.factory import init_pipeline_params
+
+    cfg = tiny_test_config()
+    mesh = create_mesh(data=world)
+
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg,
+                                  with_vaes=False, with_text=False)
+
+    # deterministic global batch of 2 "prompts": per-item noise/context drawn
+    # from item-keyed PRNGs so row i is bit-identical in either world
+    b, f, hh, ww, la, tl = 2, 2, 4, 4, 8, 64
+    td = cfg.video_dit.text_dim
+
+    def item(i):
+        ks = jax.random.split(jax.random.PRNGKey(100 + i), 4)
+        return {
+            "latents": jax.random.normal(ks[0], (16, f, hh, ww), jnp.float32),
+            "condition": jax.random.normal(ks[1], (20, f, hh, ww),
+                                           jnp.float32) * 0.1,
+            "audio_latents": jax.random.normal(
+                ks[2], (cfg.audio_vae.latent_dim, la), jnp.float32),
+            "ctx_pos": jax.random.normal(ks[3], (tl, td), jnp.float32),
+        }
+
+    rows = [jax.tree.map(np.asarray, item(i)) for i in range(b)]
+    g = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+    local = {k: (v if world == 1 else v[pid:pid + 1]) for k, v in g.items()}
+    batch = jax.tree.map(
+        lambda x: multihost_utils.host_local_array_to_global_array(
+            x, mesh, P("data")), local)
+    params = jax.tree.map(
+        lambda x: multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), mesh, P()), params)
+    ctx_neg = jnp.zeros_like(batch["ctx_pos"])
+
+    sched = FlowMatchPairScheduler(cfg.scheduler)
+    sched.set_timesteps(4, shift=5.0)
+    plan = build_plan(sched, cfg.boundary_ratio)
+
+    lat, alat = denoise_loop(
+        params["video_dit"], params["video_dit_2"], params["audio_dit"],
+        params["bridge"], cfg, batch["latents"], batch["condition"],
+        batch["audio_latents"], batch["ctx_pos"], ctx_neg, plan,
+        cfg_scale=5.0, cfg_cache_interval=2, compute_dtype=jnp.float32,
+        attn_impl="ref")
+
+    out = {"latents": np.asarray(multihost_utils.process_allgather(
+               lat, tiled=True)),
+           "audio_latents": np.asarray(multihost_utils.process_allgather(
+               alat, tiled=True))}
+    if pid == 0:
+        np.savez(os.environ["OUT_PATH"], **out)
+        print("WROTE", os.environ["OUT_PATH"], len(out))
+    multihost_utils.sync_global_devices("done")
+
+
 def main():
+    if os.environ.get("MODE") == "infer":
+        return infer_main()
     import jax
 
     # axon's sitecustomize overrides the JAX_PLATFORMS env var; config.update
