@@ -670,6 +670,36 @@ def _flash_bwd(bq, bk, softmax_cap, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# Same kernel, but under jax.checkpoint the fwd is NOT re-executed in the
+# backward: defvjp(optimize_remat=True) saves the residuals (q, k, v, o, lse)
+# across the remat boundary instead of recomputing the O(L^2) fwd kernel.
+# Opt-in (remat_save_attention): the saved residuals cost ~4*S*D bf16 per
+# layer, so the default stays full-remat (memory parity with the reference's
+# per-block gradient checkpointing, mova_train.py:1108-1214).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_opt(q, k, v, kv_valid_len, bq, bk, softmax_cap=None):
+    o, _ = _fwd(q, k, v, kv_valid_len, bq, bk, save_lse=False,
+                softmax_cap=softmax_cap)
+    return o
+
+
+_flash_opt.defvjp(_flash_fwd, _flash_bwd, optimize_remat=True)
+
+_REMAT_SAVE_ATTENTION = False
+
+
+def remat_save_attention(on: bool) -> bool:
+    """Trace-time switch: route flash_attention through the
+    optimize_remat custom_vjp so jax.checkpoint'd layers skip the attention
+    fwd recompute in their backward (the VERDICT r3 #7 recompute-reduction).
+    Returns the previous value. Set BEFORE tracing the train step; it is
+    baked into the traced program."""
+    global _REMAT_SAVE_ATTENTION
+    prev = _REMAT_SAVE_ATTENTION
+    _REMAT_SAVE_ATTENTION = bool(on)
+    return prev
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -691,7 +721,8 @@ def flash_attention(
     vlen = None
     if kv_valid_len is not None:
         vlen = jnp.repeat(kv_valid_len.astype(jnp.int32).reshape(b, 1), n, axis=0)
-    o = _flash(qf, kf, vf, vlen, block_q, block_k, softmax_cap)
+    fn = _flash_opt if _REMAT_SAVE_ATTENTION else _flash
+    o = fn(qf, kf, vf, vlen, block_q, block_k, softmax_cap)
     return o.reshape(b, n, sq, d).transpose(0, 2, 1, 3)
 
 
