@@ -260,3 +260,33 @@ def test_e2e_driver_state_roundtrip_bf16(tmp_path):
     assert got["ctx_pos"].dtype == ml_dtypes.bfloat16
     np.testing.assert_array_equal(
         got["ctx_pos"].view(np.uint16), ctx.view(np.uint16))
+
+
+def test_e2e_driver_fetch_chunked():
+    """Sliced d2h must be bit-identical to a whole-array fetch, for both a
+    multi-chunk f32 leaf and a sub-chunk bf16 leaf (the state mix a real
+    720p run saves between chunk workers)."""
+    import importlib.util
+    import os
+
+    import jax.numpy as jnp
+    import ml_dtypes
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "run_720p_e2e", os.path.join(os.path.dirname(__file__), "..",
+                                     "tools", "run_720p_e2e.py"))
+    drv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(drv)
+
+    rng = np.random.default_rng(3)
+    big = rng.standard_normal((7, 513, 330)).astype(np.float32)  # 4.5 MiB
+    got = drv.fetch_chunked(jnp.asarray(big), chunk_mib=1,
+                            log=lambda *a, **k: None)  # 5 uneven slices
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got, big)
+
+    small = rng.standard_normal((4, 5)).astype(ml_dtypes.bfloat16)
+    got = drv.fetch_chunked(jnp.asarray(small), log=lambda *a, **k: None)
+    assert got.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(got.view(np.uint16), small.view(np.uint16))

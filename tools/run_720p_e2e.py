@@ -298,6 +298,32 @@ def make_reference_frame(height: int, width: int) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
+def fetch_chunked(v, chunk_mib: int = 16, log=print):
+    """Device->host in bounded slices. One whole-array d2h needs one
+    whole-array pinned host buffer in the tunneled-TPU client; after
+    prepare_state's ~6 GB of h2d staging that allocation was observed to
+    block FOREVER (futex wait, zero IO progress — twice, reproducibly).
+    Slicing on device and fetching <=chunk_mib at a time bounds the pinned
+    demand to a size the drained pool can always satisfy."""
+    import jax.numpy as jnp
+
+    n = int(np.prod(v.shape)) if v.shape else 1
+    itemsize = np.dtype(v.dtype).itemsize
+    elems = max(1, (chunk_mib << 20) // itemsize)
+    if n <= elems:
+        return np.asarray(v)
+    flat = jnp.reshape(v, (n,))
+    parts = []
+    for a in range(0, n, elems):
+        b = min(n, a + elems)
+        t0 = time.time()
+        parts.append(np.asarray(flat[a:b]))
+        log(f"[e2e]   d2h slice [{a}:{b}) "
+            f"{(b - a) * itemsize / 2**20:.0f} MiB in "
+            f"{time.time() - t0:.1f}s", flush=True)
+    return np.concatenate(parts).reshape(v.shape)
+
+
 def save_state(state, path: str):
     """Denoise state -> one .npz (arrays) + embedded settings json.
 
@@ -576,9 +602,29 @@ def main():
         state = pipe.denoise_state(state, max_steps=b - a)
         print(f"[e2e] worker [{a}, {b}): {time.time() - t0:.1f}s  "
               f"HBM in use {hbm_in_use_gb():.1f} GB", flush=True)
-        state = {k: (np.asarray(v) if k not in ("settings", "step")
-                     and v is not None else v) for k, v in state.items()}
-        save_state(state, state_path)
+        # drain queued compute first so a d2h stall below is unambiguously a
+        # TRANSFER stall, not async dispatch still executing
+        leaves = [v for k, v in state.items()
+                  if k not in ("settings", "step") and v is not None
+                  and hasattr(v, "block_until_ready")]
+        t1 = time.time()
+        jax.block_until_ready(leaves)
+        print(f"[e2e] state compute drained in {time.time() - t1:.1f}s",
+              flush=True)
+        # d2h leaf-by-leaf, in bounded slices, with progress: a hung tunnel
+        # transfer must name the array (and slice) it hung on (observed:
+        # >10 min futex-wait saving a ~100 MB state with zero IO progress)
+        out = {}
+        for k, v in state.items():
+            if k in ("settings", "step") or v is None:
+                out[k] = v
+                continue
+            t1 = time.time()
+            out[k] = fetch_chunked(v)
+            print(f"[e2e] d2h {k}: {out[k].nbytes / 2**20:.1f} MiB "
+                  f"in {time.time() - t1:.1f}s", flush=True)
+        save_state(out, state_path)
+        print(f"[e2e] state saved -> {state_path}", flush=True)
         return
 
     if args.worker_finalize:
