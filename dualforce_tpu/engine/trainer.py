@@ -57,6 +57,10 @@ class TrainerConfig:
     seed: int = 0
     video_fps: float = 24.0
     remat: bool = True
+    # with remat: save flash-attention residuals (q,k,v,o,lse) across the
+    # jax.checkpoint boundary instead of re-running the O(L^2) fwd kernel in
+    # the backward — trades ~5*S*D bf16 per layer of HBM for the recompute
+    remat_save_attention: bool = False
     compute_dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
     optimizer: str = "AdamW"   # OPTIMIZERS registry name (e.g. "AdamW8bit")
@@ -169,6 +173,10 @@ class LoRATrainer:
                 sp_mesh = mesh
             tok = NamedSharding(mesh, P("data", "cp", None))
             hints = dict(video_tokens=tok, audio_tokens=tok)
+        from dualforce_tpu.ops.flash_attention import remat_save_attention
+
+        # trace-time switch: must be set before the step fns are traced
+        remat_save_attention(tcfg.remat_save_attention)
         step_kwargs = dict(lora_alpha=tcfg.lora_alpha,
                            video_fps=tcfg.video_fps,
                            compute_dtype=tcfg.compute_dtype, remat=tcfg.remat,

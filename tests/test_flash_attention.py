@@ -226,3 +226,32 @@ def test_bwd_fused_scratch_cap_falls_back():
     small_sq = 43120
     sq_p = fa._ceil_to(small_sq, min(fa.DEFAULT_BQ, fa._BWD_BQ_CAP))
     assert sq_p * d * 4 <= fa._FUSED_DQ_SCRATCH_CAP  # 360p -> fused
+
+
+def test_remat_save_attention_grads_match():
+    """The optimize_remat custom_vjp (remat_save_attention(True)) must give
+    bit-comparable grads to the default full-remat path under
+    jax.checkpoint — it is the same bwd kernel, only the residual plumbing
+    across the remat boundary changes."""
+    from dualforce_tpu.ops.flash_attention import remat_save_attention
+
+    b, n, d, s = 1, 2, 128, 256
+    q, k, v = _rand(20, (b, s, n, d)), _rand(21, (b, s, n, d)), _rand(22, (b, s, n, d))
+    w = _rand(23, (b, s, n, d))
+
+    def loss(q, k, v):
+        f = jax.checkpoint(
+            lambda q, k, v: flash_attention(q, k, v, block_q=128, block_k=128))
+        return jnp.sum(f(q, k, v) * w)
+
+    prev = remat_save_attention(False)
+    try:
+        g_base = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        remat_save_attention(True)
+        g_save = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        remat_save_attention(prev)
+    for got, want, name in zip(g_save, g_base, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6,
+            err_msg=f"d{name} mismatch between remat modes")

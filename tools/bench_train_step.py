@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--attn", type=str, default="fast")
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--remat_attn", type=str, default="recompute",
+                    choices=["recompute", "save"],
+                    help="save = keep flash-attn residuals across the "
+                         "jax.checkpoint boundary (skips the O(L^2) fwd "
+                         "re-run in the backward, costs HBM)")
     args = ap.parse_args()
 
     import jax
@@ -78,6 +83,10 @@ def main():
     }
     rope_pack = make_rope_pack(cfg.video_dit, cfg.audio_dit, cfg.bridge,
                                (F, H, W), La, 24.0)
+    if args.remat_attn == "save":
+        from dualforce_tpu.ops.flash_attention import remat_save_attention
+
+        remat_save_attention(True)
     step = make_lora_train_step(cfg, tables, opt, attn_impl=args.attn)
 
     print(f"[train-bench] compiling: layers={v_layers}/{a_layers} "
@@ -128,7 +137,8 @@ def main():
         "metric": "lora_train_step", "step_s": round(t, 4),
         "effective_tflops": round(eff / 1e12, 1),
         "effective_mfu_3x_fwd": round(eff / peak, 4),
-        "layers": v_layers, "backend": jax.devices()[0].platform,
+        "layers": v_layers, "remat_attn": args.remat_attn,
+        "backend": jax.devices()[0].platform,
     }))
 
 
