@@ -1,15 +1,25 @@
-"""Preprocess raw media into .npz clip shards for VideoAudioDataset.
+"""Preprocess arbitrary video files (mp4/mov/mkv/...) into DualForce-TPU
+training shards with an EXTERNAL ffmpeg.
 
-Run this where a video decoder exists (ffmpeg binary or PyAV) — except
-MJPEG .avi sources, which decode in-image (pure python + PIL via
-utils/av_io.py, no ffmpeg needed). The training environment then needs no
-codecs. Output per clip:
-  {video: [T, H, W, 3] uint8, audio: [S] float32, fps: float, sr: int}
-plus an updated metadata.json next to the shards.
+The reference ingests mp4 corpora directly in its dataset via torchcodec
+(/root/reference/mova/datasets/video_audio_dataset.py:83-117). This image
+has no video decoder, so the in-tree dataset reads decoded containers only
+(.npz clip shards or in-repo MJPEG-AVI, dualforce_tpu/data/dataset.py:80-108)
+and THIS tool is the documented contract for getting an mp4 corpus there:
+run it once wherever ffmpeg exists, point `data.metadata_path` at the
+directory it writes, train.
 
-Usage:
-  python tools/preprocess_clips.py --input raw/metadata.json --output data/train \
-      --height 352 --width 640 --num_frames 49 --fps 24 --sr 48000
+    python tools/preprocess_clips.py --src /corpus --dst /shards \
+        [--metadata /corpus/metadata.json] [--fps 24] [--sr 16000] \
+        [--height 352 --width 640] [--format npz|avi]
+
+- with --metadata (reference layout: JSON list of {video_path, caption}):
+  converts exactly the listed clips, carrying captions over;
+- without: scans --src for video files, caption = filename stem.
+
+Output: <dst>/<stem>.npz shards ({video u8 [T,H,W,3], audio f32 [S], fps,
+sr} — the tests/ data recipe) or MJPEG .avi (+ .txt caption sidecars via
+metadata), plus <dst>/metadata.json ready for scripts/train.py.
 """
 
 from __future__ import annotations
@@ -17,118 +27,147 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import subprocess
 import sys
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+VIDEO_EXTS = (".mp4", ".mov", ".mkv", ".webm", ".m4v", ".avi")
 
 
-def decode_with_ffmpeg(path: str, height: int, width: int, num_frames: int,
-                       fps: float, sr: int):
-    """Decode via the ffmpeg binary: raw RGB frames + s16le mono audio."""
-    vf = (f"fps={fps},scale={width}:{height}:force_original_aspect_ratio=increase,"
-          f"crop={width}:{height}")
-    v = subprocess.run(
-        ["ffmpeg", "-v", "error", "-i", path, "-vf", vf,
-         "-frames:v", str(num_frames), "-f", "rawvideo", "-pix_fmt", "rgb24", "-"],
-        check=True, capture_output=True).stdout
-    video = np.frombuffer(v, np.uint8)
-    t = len(video) // (height * width * 3)
-    video = video[: t * height * width * 3].reshape(t, height, width, 3)
+def probe(path: str):
+    """ffprobe -> (width, height, fps, has_audio)."""
+    out = subprocess.run(
+        ["ffprobe", "-v", "error", "-show_entries",
+         "stream=codec_type,width,height,r_frame_rate", "-of", "json", path],
+        capture_output=True, check=True).stdout
+    width = height = None
+    fps = 24.0
+    has_audio = False
+    for s in json.loads(out).get("streams", []):
+        if s.get("codec_type") == "video" and width is None:
+            width, height = s["width"], s["height"]
+            num, _, den = s.get("r_frame_rate", "24/1").partition("/")
+            fps = float(num) / float(den or 1)
+        elif s.get("codec_type") == "audio":
+            has_audio = True
+    if width is None:
+        raise ValueError(f"{path}: no video stream")
+    return width, height, fps, has_audio
 
-    a = subprocess.run(
-        ["ffmpeg", "-v", "error", "-i", path, "-ac", "1", "-ar", str(sr),
-         "-f", "s16le", "-"],
-        check=True, capture_output=True).stdout
-    audio = np.frombuffer(a, "<i2").astype(np.float32) / 32768.0
-    return video, audio
 
+def decode_with_ffmpeg(path: str, *, fps: float | None = None,
+                       height: int | None = None, width: int | None = None,
+                       sr: int = 16000):
+    """Decode one clip -> (video u8 [T,H,W,3], audio f32 [S], fps, sr).
 
-def decode_mjpeg_avi(path: str, height: int, width: int, num_frames: int,
-                     fps: float, sr: int):
-    """In-image decode for MJPEG .avi (utils/av_io.py): no ffmpeg needed.
-    Frame-rate-converts by nearest-frame sampling and center-crop-resizes
-    with the same policy the dataset uses."""
-    from dualforce_tpu.data import native
-    from dualforce_tpu.data.dataset import _resample_f32
-    from dualforce_tpu.utils.av_io import read_mjpeg_avi
+    Video and audio are pulled through two raw pipes (rgb24 / f32le mono);
+    a clip with no audio stream gets a zero track of matching duration —
+    the same contract the dataset's .npz branch expects."""
+    w0, h0, fps0, has_audio = probe(path)
+    out_fps = fps or fps0
+    out_w, out_h = width or w0, height or h0
 
-    video, audio, src_sr, src_fps = read_mjpeg_avi(path)
-    if abs(src_fps - fps) > 1e-3:
-        idx = np.clip(np.round(np.arange(num_frames) * src_fps / fps), 0,
-                      len(video) - 1).astype(int)
-        video = video[idx]
+    vf = [f"fps={out_fps}"]
+    if width or height:
+        # the dataset center-crops/resizes again if needed; scale here keeps
+        # shards small. -2 preserves aspect when only one side is given.
+        vf.append(f"scale={width or -2}:{height or -2}")
+    raw = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", path, "-vf", ",".join(vf),
+         "-f", "rawvideo", "-pix_fmt", "rgb24", "-"],
+        capture_output=True, check=True).stdout
+    frame_bytes = out_w * out_h * 3
+    n = len(raw) // frame_bytes
+    if n == 0:
+        raise ValueError(f"{path}: decoded zero frames")
+    video = np.frombuffer(raw[:n * frame_bytes], np.uint8).reshape(
+        n, out_h, out_w, 3)
+
+    if has_audio:
+        rawa = subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", path, "-vn", "-ac", "1",
+             "-ar", str(sr), "-f", "f32le", "-"],
+            capture_output=True, check=True).stdout
+        audio = np.frombuffer(rawa, np.float32).copy()
     else:
-        video = video[:num_frames]
-    # native path expects uint8 [T,H,W,3]; output is float [-1,1] — convert
-    # back to uint8 for the shard (dataset re-normalizes at load)
-    norm = native.resize_crop_normalize(np.ascontiguousarray(video),
-                                        height, width)
-    video = ((norm + 1.0) * 127.5).round().clip(0, 255).astype(np.uint8)
-    if audio is None:
-        audio = np.zeros(0, np.float32)
+        audio = np.zeros(int(round(n / out_fps * sr)), np.float32)
+    return video, audio, float(out_fps), sr
+
+
+def iter_items(src: str, metadata: str | None):
+    if metadata:
+        base = os.path.dirname(os.path.abspath(metadata))
+        with open(metadata) as f:
+            for it in json.load(f):
+                p = it["video_path"]
+                if not os.path.isabs(p):
+                    p = os.path.join(base, p)
+                yield p, it.get("caption", "")
     else:
-        audio = _resample_f32(audio.astype(np.float32), src_sr, sr)
-    return video, audio
+        for name in sorted(os.listdir(src)):
+            if name.lower().endswith(VIDEO_EXTS):
+                yield (os.path.join(src, name),
+                       os.path.splitext(name)[0].replace("_", " "))
+
+
+def preprocess(src: str, dst: str, *, metadata: str | None = None,
+               fps: float | None = None, height: int | None = None,
+               width: int | None = None, sr: int = 16000,
+               fmt: str = "npz", decode=decode_with_ffmpeg, log=print):
+    """Convert every clip, write <dst>/metadata.json, return its path."""
+    os.makedirs(dst, exist_ok=True)
+    out_meta = []
+    for path, caption in iter_items(src, metadata):
+        video, audio, clip_fps, clip_sr = decode(
+            path, fps=fps, height=height, width=width, sr=sr)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        if fmt == "npz":
+            shard = f"{stem}.npz"
+            np.savez(os.path.join(dst, shard), video=video, audio=audio,
+                     fps=np.float32(clip_fps), sr=np.int32(clip_sr))
+        else:
+            from dualforce_tpu.utils.av_io import write_mjpeg_avi
+
+            shard = f"{stem}.avi"
+            write_mjpeg_avi(os.path.join(dst, shard), video, clip_fps,
+                            audio=audio, sample_rate=clip_sr)
+        out_meta.append({"video_path": shard, "caption": caption})
+        log(f"[preprocess] {path} -> {shard}: {video.shape[0]}f "
+            f"{video.shape[2]}x{video.shape[1]} @{clip_fps:g}fps, "
+            f"{len(audio) / clip_sr:.1f}s audio")
+    meta_path = os.path.join(dst, "metadata.json")
+    with open(meta_path, "w") as f:
+        json.dump(out_meta, f, indent=1)
+    log(f"[preprocess] wrote {meta_path} ({len(out_meta)} clips)")
+    return meta_path
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="metadata.json of raw clips")
-    ap.add_argument("--output", required=True)
-    ap.add_argument("--height", type=int, default=352)
-    ap.add_argument("--width", type=int, default=640)
-    ap.add_argument("--num_frames", type=int, default=49)
-    ap.add_argument("--fps", type=float, default=24.0)
-    ap.add_argument("--sr", type=int, default=48000)
+    ap.add_argument("--src", required=True, help="directory of video files")
+    ap.add_argument("--dst", required=True, help="output shard directory")
+    ap.add_argument("--metadata", default=None,
+                    help="reference-layout metadata.json to convert "
+                         "(default: scan --src)")
+    ap.add_argument("--fps", type=float, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--sr", type=int, default=16000)
+    ap.add_argument("--format", default="npz", choices=["npz", "avi"])
     args = ap.parse_args()
 
-    with open(args.input) as f:
-        items = json.load(f)
-    root = os.path.dirname(os.path.abspath(args.input))
-    os.makedirs(args.output, exist_ok=True)
+    from dualforce_tpu.utils.av_io import ffmpeg_available
 
-    out_items = []
-    target_samples = int(args.sr * args.num_frames / args.fps)
-    for i, item in enumerate(items):
-        src = item["video_path"]
-        if not os.path.isabs(src):
-            src = os.path.join(root, src)
-        try:
-            if src.lower().endswith(".avi"):
-                video, audio = decode_mjpeg_avi(
-                    src, args.height, args.width, args.num_frames, args.fps,
-                    args.sr)
-            else:
-                if shutil.which("ffmpeg") is None:
-                    sys.exit("ffmpeg not found — MJPEG .avi decodes in-image; "
-                             "other containers need ffmpeg")
-                video, audio = decode_with_ffmpeg(
-                    src, args.height, args.width, args.num_frames, args.fps,
-                    args.sr)
-        except subprocess.CalledProcessError as e:
-            print(f"[skip] {src}: {e.stderr.decode()[:200]}")
-            continue
-        except (ValueError, OSError) as e:
-            print(f"[skip] {src}: {e}")
-            continue
-        if video.shape[0] < args.num_frames:
-            pad = np.repeat(video[-1:], args.num_frames - video.shape[0], axis=0)
-            video = np.concatenate([video, pad], axis=0)
-        audio = np.pad(audio, (0, max(0, target_samples - len(audio))))[:target_samples]
-        name = f"clip_{i:06d}.npz"
-        np.savez_compressed(os.path.join(args.output, name), video=video,
-                            audio=audio, fps=args.fps, sr=args.sr)
-        out_items.append({"video_path": name, "caption": item.get("caption", "")})
-        print(f"[{i + 1}/{len(items)}] {name}: video {video.shape}, "
-              f"audio {audio.shape}")
-
-    with open(os.path.join(args.output, "metadata.json"), "w") as f:
-        json.dump(out_items, f, indent=2)
-    print(f"wrote {len(out_items)} clips -> {args.output}")
+    if not ffmpeg_available():
+        raise SystemExit("ffmpeg not on PATH — run this tool on a machine "
+                         "that has it; the output shards are portable")
+    preprocess(args.src, args.dst, metadata=args.metadata, fps=args.fps,
+               height=args.height, width=args.width, sr=args.sr,
+               fmt=args.format)
 
 
 if __name__ == "__main__":
