@@ -106,3 +106,28 @@ def test_preprocess_real_ffmpeg(tmp_path):
     sample = ds[0]
     assert sample["video"].shape[0] == 8
     assert np.isfinite(sample["audio"]).all()
+
+
+def test_preprocess_avi_in_image_no_ffmpeg(tmp_path):
+    """MJPEG .avi corpora re-shard to .npz with the in-repo decoder even
+    when ffmpeg is absent (decode_auto's fallback branch)."""
+    from dualforce_tpu.utils.av_io import write_mjpeg_avi
+
+    tool = _load_tool()
+    src = tmp_path / "corpus"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    video = rng.integers(0, 255, (8, 32, 48, 3), dtype=np.uint8)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    write_mjpeg_avi(str(src / "clip.avi"), video, 8.0, audio=audio,
+                    sample_rate=16000)
+
+    dst = tmp_path / "shards"
+    meta_path = tool.preprocess(
+        str(src), str(dst), fps=4.0, height=16, width=24, sr=8000,
+        fmt="npz", decode=tool.decode_in_image, log=lambda *a, **k: None)
+    ds = VideoAudioDataset(meta_path, height=16, width=24, num_frames=4,
+                           fps=4.0, sample_rate=8000)
+    sample = ds[0]
+    assert sample["video"].shape[0] == 4
+    assert np.isfinite(sample["audio"]).all()

@@ -98,6 +98,50 @@ def decode_with_ffmpeg(path: str, *, fps: float | None = None,
     return video, audio, float(out_fps), sr
 
 
+def decode_in_image(path: str, *, fps: float | None = None,
+                    height: int | None = None, width: int | None = None,
+                    sr: int = 16000):
+    """No-ffmpeg branch for MJPEG .avi sources: decode with the in-repo
+    reader (pure python + PIL, utils/av_io.py), nearest-frame resample to
+    the target fps, resize/crop with the dataset's own policy. Lets .avi
+    corpora be re-sharded to .npz inside this image."""
+    from dualforce_tpu.data import native
+    from dualforce_tpu.data.dataset import _resample_f32
+    from dualforce_tpu.utils.av_io import read_mjpeg_avi
+
+    video, audio, src_sr, src_fps = read_mjpeg_avi(path)
+    video = np.asarray(video)
+    out_fps = fps or src_fps
+    if abs(src_fps - out_fps) > 1e-3:
+        n = int(len(video) * out_fps / src_fps)
+        idx = np.clip(np.round(np.arange(n) * src_fps / out_fps), 0,
+                      len(video) - 1).astype(int)
+        video = video[idx]
+    if height or width:
+        h = height or video.shape[1]
+        w = width or video.shape[2]
+        norm = native.resize_crop_normalize(np.ascontiguousarray(video), h, w)
+        video = ((norm + 1.0) * 127.5).round().clip(0, 255).astype(np.uint8)
+    if audio is None:
+        audio = np.zeros(int(round(len(video) / out_fps * sr)), np.float32)
+    elif src_sr != sr:
+        audio = _resample_f32(np.asarray(audio, np.float32), src_sr, sr)
+    return video, np.asarray(audio, np.float32), float(out_fps), sr
+
+
+def decode_auto(path: str, **kw):
+    """ffmpeg when present; in-image reader for MJPEG .avi otherwise."""
+    from dualforce_tpu.utils.av_io import ffmpeg_available
+
+    if ffmpeg_available():
+        return decode_with_ffmpeg(path, **kw)
+    if path.lower().endswith(".avi"):
+        return decode_in_image(path, **kw)
+    raise SystemExit(
+        f"{path}: no ffmpeg on PATH and not an MJPEG .avi — run this tool "
+        "on a machine that has ffmpeg; the output shards are portable")
+
+
 def iter_items(src: str, metadata: str | None):
     if metadata:
         base = os.path.dirname(os.path.abspath(metadata))
@@ -117,8 +161,9 @@ def iter_items(src: str, metadata: str | None):
 def preprocess(src: str, dst: str, *, metadata: str | None = None,
                fps: float | None = None, height: int | None = None,
                width: int | None = None, sr: int = 16000,
-               fmt: str = "npz", decode=decode_with_ffmpeg, log=print):
+               fmt: str = "npz", decode=None, log=print):
     """Convert every clip, write <dst>/metadata.json, return its path."""
+    decode = decode or decode_auto
     os.makedirs(dst, exist_ok=True)
     out_meta = []
     for path, caption in iter_items(src, metadata):
@@ -160,11 +205,6 @@ def main():
     ap.add_argument("--format", default="npz", choices=["npz", "avi"])
     args = ap.parse_args()
 
-    from dualforce_tpu.utils.av_io import ffmpeg_available
-
-    if not ffmpeg_available():
-        raise SystemExit("ffmpeg not on PATH — run this tool on a machine "
-                         "that has it; the output shards are portable")
     preprocess(args.src, args.dst, metadata=args.metadata, fps=args.fps,
                height=args.height, width=args.width, sr=args.sr,
                fmt=args.format)
