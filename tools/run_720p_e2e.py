@@ -379,6 +379,19 @@ def load_state(path: str):
     return state
 
 
+def _boundary_step(args) -> int:
+    """Expert-switch step for the run's geometry (same derivation as
+    orchestrate(): flagship config, sigma shift 5.0)."""
+    from dualforce_tpu.config import MOVAConfig
+    from dualforce_tpu.diffusion.flow_match import FlowMatchPairScheduler
+    from dualforce_tpu.diffusion.sampler import build_plan
+
+    cfg = MOVAConfig()
+    sched = FlowMatchPairScheduler(cfg.scheduler)
+    sched.set_timesteps(args.steps, shift=5.0)
+    return build_plan(sched, cfg.boundary_ratio).boundary_step
+
+
 def pass_schedule(steps: int, cache_interval: int, boundary: int,
                   use_cfg: bool = True):
     """Per-step forward-pass counts under cache carry: pos pass always, neg
@@ -588,7 +601,8 @@ def main():
 
     if args.worker_range:
         a, b = (int(x) for x in args.worker_range.split(":"))
-        if a == 0 and not os.path.exists(state_path):
+        fresh = a == 0 and not os.path.exists(state_path)
+        if fresh:
             t0 = time.time()
             state = pipe.prepare_state([prompt], [frame], seeds=[args.seed],
                                        **gen_kw)
@@ -602,23 +616,32 @@ def main():
         state = pipe.denoise_state(state, max_steps=b - a)
         print(f"[e2e] worker [{a}, {b}): {time.time() - t0:.1f}s  "
               f"HBM in use {hbm_in_use_gb():.1f} GB", flush=True)
-        # drain queued compute first so a d2h stall below is unambiguously a
-        # TRANSFER stall, not async dispatch still executing
-        leaves = [v for k, v in state.items()
-                  if k not in ("settings", "step") and v is not None
-                  and hasattr(v, "block_until_ready")]
-        t1 = time.time()
-        jax.block_until_ready(leaves)
-        print(f"[e2e] state compute drained in {time.time() - t1:.1f}s",
-              flush=True)
+        # Post-worker d2h is the fragile operation on the tunneled client
+        # (after tens of GB of h2d weight streaming, even small fetches were
+        # observed to wedge), so fetch the MINIMUM: constant leaves
+        # (condition, ctx_*) are already on disk from prepare — only the
+        # keys the denoise mutates come back, and the CFG negative cache is
+        # dropped entirely when the next chunk's first step refreshes it
+        # anyway (i % cache_interval == 0, the boundary reset, or the end).
+        mutated = {"latents", "audio_latents", "neg_cache_v", "neg_cache_a"}
+        k_int = args.cfg_cache_interval
+        cache_dead = (b >= args.steps or b == _boundary_step(args)
+                      or k_int <= 1 or b % k_int == 0)
+        if cache_dead:
+            mutated -= {"neg_cache_v", "neg_cache_a"}
+            state["neg_cache_v"] = state["neg_cache_a"] = None
+            print("[e2e] negative cache not carried (next step refreshes)",
+                  flush=True)
         # d2h leaf-by-leaf, in bounded slices, with progress: a hung tunnel
         # transfer must name the array (and slice) it hung on (observed:
         # >10 min futex-wait saving a ~100 MB state with zero IO progress)
-        out = {}
+        out = dict(load_state(state_path)) if not fresh else {}
         for k, v in state.items():
             if k in ("settings", "step") or v is None:
                 out[k] = v
                 continue
+            if not fresh and k not in mutated:
+                continue  # constant leaf: keep the on-disk copy
             t1 = time.time()
             out[k] = fetch_chunked(v)
             print(f"[e2e] d2h {k}: {out[k].nbytes / 2**20:.1f} MiB "
