@@ -317,11 +317,28 @@ def fetch_chunked(v, chunk_mib: int = 16, log=print):
     for a in range(0, n, elems):
         b = min(n, a + elems)
         t0 = time.time()
-        parts.append(np.asarray(flat[a:b]))
+        parts.append(_fetch_retry(lambda: np.asarray(flat[a:b]), log=log))
         log(f"[e2e]   d2h slice [{a}:{b}) "
             f"{(b - a) * itemsize / 2**20:.0f} MiB in "
             f"{time.time() - t0:.1f}s", flush=True)
     return np.concatenate(parts).reshape(v.shape)
+
+
+def _fetch_retry(fn, attempts: int = 3, backoff_s: float = 60.0, log=print):
+    """d2h with retries: the tunnel returns RESOURCE_EXHAUSTED when its
+    transfer pool is saturated by earlier h2d streaming (observed live,
+    twice); the condition can clear as queued transfers drain, so back off
+    and retry before giving up."""
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — jax runtime errors vary
+            if k + 1 == attempts:
+                raise
+            log(f"[e2e]   d2h failed ({type(e).__name__}: {str(e)[:120]}); "
+                f"retry {k + 1}/{attempts - 1} in {backoff_s:.0f}s",
+                flush=True)
+            time.sleep(backoff_s)
 
 
 def save_state(state, path: str):
@@ -748,13 +765,25 @@ def orchestrate(args):
           f"+ finalize ({total_passes} passes, boundary step {boundary}, "
           f"chunks {chunks})", flush=True)
     t0 = time.time()
+
+    def run_retry(argv, what):
+        # a worker that dies on a saturated tunnel (RESOURCE_EXHAUSTED on
+        # the state d2h) is safely re-runnable: the on-disk state is only
+        # replaced at the end, so a fresh process (fresh transfer pool)
+        # just re-does the same steps
+        for k in range(3):
+            rc = subprocess.run(argv).returncode
+            if rc == 0:
+                return
+            print(f"[e2e] {what} failed rc={rc} "
+                  f"(attempt {k + 1}/3)", flush=True)
+            time.sleep(60.0)
+        raise SystemExit(f"{what} failed after 3 attempts")
+
     for a, b in chunks:
-        rc = subprocess.run(base + ["--worker_range", f"{a}:{b}"]).returncode
-        if rc != 0:
-            raise SystemExit(f"worker [{a}, {b}) failed rc={rc}")
-    rc = subprocess.run(base + ["--worker_finalize"]).returncode
-    if rc != 0:
-        raise SystemExit(f"finalize worker failed rc={rc}")
+        run_retry(base + ["--worker_range", f"{a}:{b}"],
+                  f"worker [{a}, {b})")
+    run_retry(base + ["--worker_finalize"], "finalize worker")
     with open(os.path.join(state_dir, "e2e_summary.json")) as f:
         summary = json.load(f)
     summary["timings"]["wall_total_s"] = round(time.time() - t0, 1)
