@@ -481,6 +481,10 @@ def main():
                     help="jax persistent compilation cache dir (default: "
                          "<state_dir>/compile_cache) — chunk workers after "
                          "the first then skip the ~200 s 720p compile")
+    ap.add_argument("--resume", action="store_true",
+                    help="chunked mode: reuse an existing e2e_state.npz for "
+                         "the same recipe (skips prepare and finished steps) "
+                         "instead of starting over")
     ap.add_argument("--worker_range", type=str, default=None,
                     help=argparse.SUPPRESS)  # internal: chunk worker "a:b"
     ap.add_argument("--worker_finalize", action="store_true",
@@ -726,9 +730,30 @@ def orchestrate(args):
 
     state_dir = args.state_dir or (os.path.dirname(args.output) or ".")
     os.makedirs(state_dir, exist_ok=True)
-    for p in ("e2e_state.npz", "e2e_steps.jsonl", "e2e_summary.json"):
-        if os.path.exists(os.path.join(state_dir, p)):
-            os.remove(os.path.join(state_dir, p))
+    done_steps, have_state = 0, False
+    if args.resume and os.path.exists(os.path.join(state_dir,
+                                                   "e2e_state.npz")):
+        st = load_state(os.path.join(state_dir, "e2e_state.npz"))
+        if st["settings"]["num_inference_steps"] == args.steps:
+            done_steps, have_state = int(st["step"]), True
+            print(f"[e2e] resuming from saved state at step {done_steps}",
+                  flush=True)
+        else:
+            print("[e2e] saved state is for a different recipe; restarting",
+                  flush=True)
+    if have_state:
+        # drop per-step timings from abandoned attempts at steps being redone
+        sl = os.path.join(state_dir, "e2e_steps.jsonl")
+        if os.path.exists(sl):
+            with open(sl) as f:
+                keep = [ln for ln in f if ln.strip()
+                        and json.loads(ln)["step"] <= done_steps]
+            with open(sl, "w") as f:
+                f.writelines(keep)
+    if not have_state:
+        for p in ("e2e_state.npz", "e2e_steps.jsonl", "e2e_summary.json"):
+            if os.path.exists(os.path.join(state_dir, p)):
+                os.remove(os.path.join(state_dir, p))
 
     if not args.params_cache:
         # each worker is a fresh process; without a cache every one would
@@ -758,7 +783,12 @@ def orchestrate(args):
     # top of that overflowed the tunnel client's pinned-buffer pool
     # (observed: RESOURCE_EXHAUSTED on the state d2h after 3 streamed
     # passes + prepare in one process)
-    chunks = [(0, 0)] + chunks
+    if have_state:
+        # prepare already on disk; keep only the not-yet-done step ranges
+        chunks = [(max(a, done_steps), b) for a, b in chunks
+                  if b > done_steps]
+    else:
+        chunks = [(0, 0)] + chunks
 
     total_passes = sum(counts)
     print(f"[e2e] chunked run: prepare + {len(chunks) - 1} denoise workers "
