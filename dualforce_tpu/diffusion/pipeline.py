@@ -74,6 +74,7 @@ class MOVAPipeline:
                  offload: str = "none", mesh=None, quantize: str = "none",
                  mask_ctx_pad: bool = False, offload_group_size: int = 8,
                  offload_resident_small: bool = False,
+                 offload_resident_video_groups: int = 0,
                  vae_encode_dtype: Optional[str] = None):
         """offload: "none" (weights HBM-resident, the TPU-native default),
         "component" — the escape hatch for chips whose HBM can't hold the
@@ -130,6 +131,10 @@ class MOVAPipeline:
         # stream only the active video tower (cuts per-pass host->HBM bytes
         # ~22%; needs the extra HBM headroom, so opt-in)
         self.offload_resident_small = bool(offload_resident_small)
+        # group mode: additionally pin the first K video layer groups in
+        # HBM across passes (partial residency — zero h2d for those groups
+        # after the first pass; size K to spare HBM)
+        self.offload_resident_video_groups = int(offload_resident_video_groups)
         # vae_encode_dtype: run the streaming VAE encoder in bf16 ("bf16") —
         # required at 720p where the minimum-chunk f32 encode needs ~18 GB
         # HBM (measured); None/"fp32" keeps the checkpoint's f32 for exact
@@ -723,6 +728,7 @@ class MOVAPipeline:
                     ctx_len_pos=ctx_len_pos, ctx_len_neg=ctx_len_neg,
                     progress_fn=self._progress_fn,
                     resident_small=self.offload_resident_small,
+                    resident_video_groups=self.offload_resident_video_groups,
                     neg_cache=carry, return_neg_cache=True)
             if cache_out is not None and cache_out[0] is None:
                 cache_out = None

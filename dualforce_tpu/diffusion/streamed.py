@@ -269,6 +269,7 @@ def denoise_streamed(
     ctx_len_neg=None,
     progress_fn=None,
     resident_small: bool = False,
+    resident_video_groups: int = 0,
     neg_cache: Optional[Tuple[Any, Any]] = None,
     return_neg_cache: bool = False,
 ):
@@ -309,6 +310,15 @@ def denoise_streamed(
         host_groups = [
             _slice_group(video_params["blocks"], audio_params["blocks"],
                          bridge_params, s) for s in specs]
+    if resident_video_groups > 0:
+        # Partial residency: pin the first K video layer groups in HBM for
+        # the whole range — streamed_pass's jax.device_put is an identity on
+        # already-committed device arrays, so pinned groups cost zero h2d on
+        # every pass after the first. Cuts per-pass host->HBM traffic by
+        # K/num_groups of the video tower (the dominant stream) at K x
+        # group-bytes of HBM; size K to the HBM left after activations.
+        for gi in range(min(resident_video_groups, len(host_groups))):
+            host_groups[gi] = jax.device_put(host_groups[gi])
     video_periph = jax.device_put(
         {k: v for k, v in video_params.items() if k != "blocks"})
     audio_periph = jax.device_put(

@@ -290,3 +290,20 @@ def test_e2e_driver_fetch_chunked():
     got = drv.fetch_chunked(jnp.asarray(small), log=lambda *a, **k: None)
     assert got.dtype == ml_dtypes.bfloat16
     np.testing.assert_array_equal(got.view(np.uint16), small.view(np.uint16))
+
+
+@pytest.mark.parametrize("resident_small", [False, True])
+def test_streamed_resident_video_groups_matches(resident_small):
+    """Partial residency (first K video groups pinned in HBM across passes)
+    must be bit-comparable to full streaming, with and without the
+    resident_small audio/bridge pinning it composes with."""
+    cfg, params, plan, data = _setup()
+    lat_r, alat_r = _run_resident(cfg, params, plan, data, cfg_scale=4.0)
+    lat_s, alat_s = _run_streamed(cfg, params, plan, data, group_size=2,
+                                  cfg_scale=4.0,
+                                  resident_small=resident_small,
+                                  resident_video_groups=1)
+    np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(alat_s), np.asarray(alat_r),
+                               rtol=2e-5, atol=2e-5)

@@ -464,6 +464,10 @@ def main():
     ap.add_argument("--resident_small", action="store_true",
                     help="keep audio tower + bridge HBM-resident; stream "
                          "only the video tower (~22%% less h2d per pass)")
+    ap.add_argument("--resident_groups", type=int, default=0,
+                    help="pin the first N video layer groups in HBM across "
+                         "passes (partial residency: N x group-bytes HBM "
+                         "for N/num_groups less video h2d per pass)")
     ap.add_argument("--vae_encode_dtype", type=str, default="bf16",
                     help="VAE encoder compute dtype; f32 needs ~18 GB HBM "
                          "at 720p (OOM on a 16 GB v5e), bf16 fits")
@@ -567,6 +571,7 @@ def main():
                         attn_impl=args.attn_type, offload="group",
                         offload_group_size=args.group_size,
                         offload_resident_small=args.resident_small,
+                        offload_resident_video_groups=args.resident_groups,
                         vae_encode_dtype=args.vae_encode_dtype)
 
     state_dir = args.state_dir or (os.path.dirname(args.output) or ".")
@@ -606,7 +611,9 @@ def main():
             "steps": args.steps,
             "cfg_cache_interval": args.cfg_cache_interval,
             "offload": f"group:{args.group_size}"
-                       + (":resident_small" if args.resident_small else ""),
+                       + (":resident_small" if args.resident_small else "")
+                       + (f":resident_groups={args.resident_groups}"
+                          if args.resident_groups else ""),
             "attn": args.attn_type,
             "quant": args.quant,
             "weight_storage": "fp8(e4m3) kernels + bf16 rest" if not args.dry
@@ -777,6 +784,8 @@ def orchestrate(args):
         base += ["--params_cache", args.params_cache]
     if args.resident_small:
         base += ["--resident_small"]
+    if args.resident_groups:
+        base += ["--resident_groups", str(args.resident_groups)]
 
     # prepare_state runs in its OWN worker: prompt/VAE-encode staging pins
     # host copies of every module it stages, and adding denoise passes on
