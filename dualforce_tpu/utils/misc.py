@@ -91,3 +91,19 @@ def host_callbacks_supported() -> bool:
         return True
     except Exception:  # noqa: BLE001 — any failure means "don't use them"
         return False
+
+
+def respect_platform_env() -> None:
+    """Re-assert the JAX_PLATFORMS env var as the in-process platform choice.
+
+    The axon sitecustomize force-selects jax_platforms="axon,cpu" in EVERY
+    interpreter, overriding the env var — so a subprocess launched with
+    JAX_PLATFORMS=cpu (tests, CPU smoke runs of the CLIs) would silently
+    grab the real chip. Entry points call this before first backend use."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and want != "axon":
+        import jax
+
+        jax.config.update("jax_platforms", want)

@@ -22,6 +22,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from dualforce_tpu.utils.misc import respect_platform_env  # noqa: E402
+
+respect_platform_env()  # JAX_PLATFORMS=cpu must keep subprocesses off the chip
+
 
 def _ffprobe_fps(path: str) -> float:
     try:

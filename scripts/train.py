@@ -16,6 +16,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from dualforce_tpu.utils.misc import respect_platform_env  # noqa: E402
+
+respect_platform_env()  # JAX_PLATFORMS=cpu must keep subprocesses off the chip
+
 
 def load_config(path: str) -> dict:
     spec = importlib.util.spec_from_file_location("train_config", path)

@@ -15,6 +15,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dualforce_tpu.utils.misc import respect_platform_env  # noqa: E402
+
+respect_platform_env()  # JAX_PLATFORMS=cpu must keep subprocesses off the chip
+
 import numpy as np
 
 

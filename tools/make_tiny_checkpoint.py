@@ -24,6 +24,10 @@ import numpy as np
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
+
+from dualforce_tpu.utils.misc import respect_platform_env  # noqa: E402
+
+respect_platform_env()  # JAX_PLATFORMS=cpu must keep subprocesses off the chip
 sys.path.insert(0, os.path.join(_REPO, "tests"))
 
 

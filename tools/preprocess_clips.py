@@ -33,6 +33,10 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
+from dualforce_tpu.utils.misc import respect_platform_env  # noqa: E402
+
+respect_platform_env()  # JAX_PLATFORMS=cpu must keep subprocesses off the chip
+
 import numpy as np
 
 VIDEO_EXTS = (".mp4", ".mov", ".mkv", ".webm", ".m4v", ".avi")
