@@ -161,26 +161,44 @@ def _head(video_periph, audio_periph, vcfg: VideoDiTConfig,
 # one streamed forward pass
 # --------------------------------------------------------------------------
 
-def streamed_pass(
+def streamed_pass_multi(
     video_periph,                  # device: video params sans "blocks"
     audio_periph,                  # device: audio params sans "blocks"
     host_groups: List[Any],        # host param slices from plan/slice
     group_specs: List[Dict[str, Any]],
     cfg: MOVAConfig,
-    visual_latents, audio_latents, context, timestep, audio_timestep,
+    visual_latents, audio_latents,
+    programs: List[Dict[str, Any]],  # per pass: {context, ctx_valid_len,
+                                     #            condition_scale}
+    timestep, audio_timestep,
     rope_pack,
     *,
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
-    condition_scale: Optional[float] = None,
-    ctx_valid_len=None,
     resident: Optional[Tuple[Any, Any]] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Run SEVERAL forward passes over ONE host->HBM staging sweep.
+
+    The CFG positive/negative (and dual-CFG) passes of a step share
+    identical latents and timestep — they differ only in text context and
+    bridge condition scale. Staging each layer group once and running every
+    program's group-forward on it divides the dominant cost of offload mode
+    (the per-pass weight restream: ~14 GiB over PCIe or tunnel for the
+    flagship video tower) by the number of programs, for +one activation
+    set (~2 GiB at 720p) per extra program. Activations stay batch-1 —
+    unlike cfg_batch, which doubles every intermediate."""
     vcfg, acfg, bcfg = cfg.video_dit, cfg.audio_dit, cfg.bridge
-    (visual_x, audio_x, visual_ctx, audio_ctx, v_t, v_t_mod, a_t, a_t_mod
+    (visual_x, audio_x, visual_ctx0, audio_ctx0, v_t, v_t_mod, a_t, a_t_mod
      ) = _pre(video_periph, audio_periph, vcfg, acfg,
-              visual_latents, audio_latents, context, timestep,
-              audio_timestep, compute_dtype)
+              visual_latents, audio_latents, programs[0]["context"],
+              timestep, audio_timestep, compute_dtype)
+    # tower states per program: same patchified latents, per-program ctx
+    states = [[visual_x, audio_x, visual_ctx0, audio_ctx0]]
+    for prog in programs[1:]:
+        ctx = prog["context"].astype(compute_dtype)
+        states.append([visual_x, audio_x,
+                       video_dit.embed_text(video_periph, ctx),
+                       audio_dit.embed_text(audio_periph, ctx)])
     pt, ph, pw = vcfg.patch_size
     grid = (visual_latents.shape[2] // pt, visual_latents.shape[3] // ph,
             visual_latents.shape[4] // pw)
@@ -213,22 +231,47 @@ def streamed_pass(
         nxt = (_assemble(jax.device_put(host_groups[gi + 1]),
                          group_specs[gi + 1])
                if gi + 1 < len(group_specs) else None)
-        visual_x, audio_x = _group_forward(
-            cur, vcfg, acfg, bcfg, visual_x, audio_x, visual_ctx, audio_ctx,
-            v_t_mod, a_t_mod, v_rope, a_rope, cross_rope, ctx_valid_len,
-            spec["shared"], spec["interact"], attn_impl,
-            condition_scale, condition_scale, grid)
+        for st, prog in zip(states, programs):
+            cscale = prog.get("condition_scale")
+            st[0], st[1] = _group_forward(
+                cur, vcfg, acfg, bcfg, st[0], st[1], st[2], st[3],
+                v_t_mod, a_t_mod, v_rope, a_rope, cross_rope,
+                prog.get("ctx_valid_len"),
+                spec["shared"], spec["interact"], attn_impl,
+                cscale, cscale, grid)
         # FLOW CONTROL: bound in-flight host staging to two groups. Without
         # this the async dispatch races arbitrarily far ahead and every
         # pending device_put pins a host copy of its group — observed live
         # as a ~30 GB/step RSS climb and an OOM kill at step 3 of the 360p
         # e2e run. Group g+1's transfer was issued above, so it still
         # overlaps group g's compute; only group g+2's staging waits.
-        jax.block_until_ready(visual_x)
+        jax.block_until_ready(states[-1][0])
         cur = nxt  # drop the last reference; HBM frees once compute retires
 
-    return _head(video_periph, audio_periph, vcfg, acfg, visual_x, audio_x,
-                 v_t, a_t, grid)
+    return [_head(video_periph, audio_periph, vcfg, acfg, st[0], st[1],
+                  v_t, a_t, grid) for st in states]
+
+
+def streamed_pass(
+    video_periph, audio_periph, host_groups, group_specs, cfg,
+    visual_latents, audio_latents, context, timestep, audio_timestep,
+    rope_pack,
+    *,
+    compute_dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+    condition_scale: Optional[float] = None,
+    ctx_valid_len=None,
+    resident: Optional[Tuple[Any, Any]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-program wrapper over streamed_pass_multi."""
+    return streamed_pass_multi(
+        video_periph, audio_periph, host_groups, group_specs, cfg,
+        visual_latents, audio_latents,
+        [{"context": context, "ctx_valid_len": ctx_valid_len,
+          "condition_scale": condition_scale}],
+        timestep, audio_timestep, rope_pack,
+        compute_dtype=compute_dtype, attn_impl=attn_impl,
+        resident=resident)[0]
 
 
 # --------------------------------------------------------------------------
@@ -352,6 +395,14 @@ def denoise_streamed(
             condition_scale=bridge_scale, ctx_valid_len=ctx_len,
             resident=resident)
 
+    def run_multi(progs, mi, al, tt, att):
+        # one staging sweep, several passes (pos/neg/dual share latents)
+        return streamed_pass_multi(
+            video_periph, audio_periph, host_groups, specs, cfg,
+            mi, al, progs, tt, att, rope_pack,
+            compute_dtype=compute_dtype, attn_impl=attn_impl,
+            resident=resident)
+
     pair_t = plan.pair_timesteps
     sig_v, sig_a = plan.sigmas_visual, plan.sigmas_audio
     lat, alat = latents, audio_latents
@@ -362,8 +413,18 @@ def denoise_streamed(
         at = jnp.full((b,), float(pair_t[i, 1]), jnp.float32)
         model_in = jnp.concatenate([lat, condition], axis=1)
 
+        # compose this step's passes into ONE staging sweep (pos, neg on
+        # refresh, dual-CFG) — they share latents/timestep, so the weight
+        # restream is paid once instead of per pass
+        dual_prog = {"context": ctx_pos, "ctx_valid_len": ctx_len_pos,
+                     "condition_scale": 0.0}
         if not use_cfg:
-            v, a = run(ctx_pos, model_in, alat, t, at, ctx_len=ctx_len_pos)
+            progs = [{"context": ctx_pos, "ctx_valid_len": ctx_len_pos,
+                      "condition_scale": None}]
+            if use_dual:
+                progs.append(dual_prog)
+            outs = run_multi(progs, model_in, alat, t, at)
+            v, a = outs[0]
             v_pos = v_pred = v.astype(jnp.float32)
             a_pos = a_pred = a.astype(jnp.float32)
         elif cfg_batch:
@@ -376,24 +437,36 @@ def denoise_streamed(
                 (v_pos, a_pos),
                 (v[b:].astype(jnp.float32), a[b:].astype(jnp.float32)),
                 cfg_scale)
+            if use_dual:
+                vnb, anb = run(ctx_pos, model_in, alat, t, at,
+                               bridge_scale=0.0, ctx_len=ctx_len_pos)
+                outs = [(vnb, anb)]  # consumed by the shared dual tail
+                progs = [dual_prog]
         else:
-            v, a = run(ctx_pos, model_in, alat, t, at, ctx_len=ctx_len_pos)
-            v_pos, a_pos = v.astype(jnp.float32), a.astype(jnp.float32)
             # refresh cadence matches sampler.denoise_loop's predict_cached:
             # global-step modulus; the phase-start refresh falls out of the
             # empty cache (callers pass neg_cache=None at a tower switch)
             refresh = (v_negc is None or cfg_cache_interval <= 1
                        or i % cfg_cache_interval == 0)
+            progs = [{"context": ctx_pos, "ctx_valid_len": ctx_len_pos,
+                      "condition_scale": None}]
             if refresh:
-                vn, an = run(ctx_neg, model_in, alat, t, at,
-                             ctx_len=ctx_len_neg)
+                progs.append({"context": ctx_neg,
+                              "ctx_valid_len": ctx_len_neg,
+                              "condition_scale": None})
+            if use_dual:
+                progs.append(dual_prog)
+            outs = run_multi(progs, model_in, alat, t, at)
+            v, a = outs[0]
+            v_pos, a_pos = v.astype(jnp.float32), a.astype(jnp.float32)
+            if refresh:
+                vn, an = outs[1]
                 v_negc = vn.astype(jnp.float32)
                 a_negc = an.astype(jnp.float32)
             v_pred, a_pred = _cfg_combine((v_pos, a_pos), (v_negc, a_negc),
                                           cfg_scale)
         if use_dual:
-            vnb, anb = run(ctx_pos, model_in, alat, t, at, bridge_scale=0.0,
-                           ctx_len=ctx_len_pos)
+            vnb, anb = outs[len(progs) - 1]
             v_pred = v_pred + cfg_scale_bridge * (
                 v_pos - vnb.astype(jnp.float32))
             a_pred = a_pred + cfg_scale_bridge * (

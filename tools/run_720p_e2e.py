@@ -313,14 +313,27 @@ def fetch_chunked(v, chunk_mib: int = 16, log=print):
     if n <= elems:
         return np.asarray(v)
     flat = jnp.reshape(v, (n,))
+    min_elems = max(1, (1 << 20) // itemsize)  # 1 MiB floor
     parts = []
-    for a in range(0, n, elems):
+    a = 0
+    while a < n:
         b = min(n, a + elems)
         t0 = time.time()
-        parts.append(_fetch_retry(lambda: np.asarray(flat[a:b]), log=log))
+        try:
+            parts.append(_fetch_retry(lambda: np.asarray(flat[a:b]), log=log))
+        except Exception:  # noqa: BLE001
+            if elems <= min_elems:
+                raise
+            # RESOURCE_EXHAUSTED can be a contiguous-chunk limit in the
+            # drained pool: halve the slice and re-try the same offset
+            elems = max(min_elems, elems // 2)
+            log(f"[e2e]   d2h shrinking slices to "
+                f"{elems * itemsize / 2**20:.0f} MiB", flush=True)
+            continue
         log(f"[e2e]   d2h slice [{a}:{b}) "
             f"{(b - a) * itemsize / 2**20:.0f} MiB in "
             f"{time.time() - t0:.1f}s", flush=True)
+        a = b
     return np.concatenate(parts).reshape(v.shape)
 
 
@@ -660,6 +673,13 @@ def main():
             state["neg_cache_v"] = state["neg_cache_a"] = None
             print("[e2e] negative cache not carried (next step refreshes)",
                   flush=True)
+        # settle the device before fetching: drop every dead reference so
+        # the queued buffer-deletion RPCs flush (a trailing op forces the
+        # channel), minimizing HBM pressure at d2h time
+        import gc
+
+        gc.collect()
+        jnp.zeros((8,), jnp.float32).block_until_ready()
         # d2h leaf-by-leaf, in bounded slices, with progress: a hung tunnel
         # transfer must name the array (and slice) it hung on (observed:
         # >10 min futex-wait saving a ~100 MB state with zero IO progress)
@@ -671,7 +691,27 @@ def main():
             if not fresh and k not in mutated:
                 continue  # constant leaf: keep the on-disk copy
             t1 = time.time()
-            out[k] = fetch_chunked(v)
+            try:
+                # whole-leaf fetch first: a contiguous d2h allocates NOTHING
+                # on device, so it cannot trip an HBM-pressure
+                # RESOURCE_EXHAUSTED the way fetch_chunked's device-side
+                # reshape/slice ops can
+                out[k] = _fetch_retry(lambda: np.asarray(v), attempts=2,
+                                      backoff_s=45.0)
+            except Exception as e:  # noqa: BLE001
+                print(f"[e2e] whole-leaf d2h of {k} failed "
+                      f"({type(e).__name__}); probing device alloc",
+                      flush=True)
+                try:
+                    z = jnp.zeros((256,), jnp.float32)
+                    z.block_until_ready()
+                    del z
+                    print("[e2e]   alloc probe OK -> transfer-side failure",
+                          flush=True)
+                except Exception as pe:  # noqa: BLE001
+                    print(f"[e2e]   alloc probe FAILED ({pe}) -> HBM "
+                          f"pressure / deletion lag", flush=True)
+                out[k] = fetch_chunked(v)
             print(f"[e2e] d2h {k}: {out[k].nbytes / 2**20:.1f} MiB "
                   f"in {time.time() - t1:.1f}s", flush=True)
         save_state(out, state_path)
