@@ -691,27 +691,14 @@ def main():
             if not fresh and k not in mutated:
                 continue  # constant leaf: keep the on-disk copy
             t1 = time.time()
-            try:
-                # whole-leaf fetch first: a contiguous d2h allocates NOTHING
-                # on device, so it cannot trip an HBM-pressure
-                # RESOURCE_EXHAUSTED the way fetch_chunked's device-side
-                # reshape/slice ops can
-                out[k] = _fetch_retry(lambda: np.asarray(v), attempts=2,
-                                      backoff_s=45.0)
-            except Exception as e:  # noqa: BLE001
-                print(f"[e2e] whole-leaf d2h of {k} failed "
-                      f"({type(e).__name__}); probing device alloc",
-                      flush=True)
-                try:
-                    z = jnp.zeros((256,), jnp.float32)
-                    z.block_until_ready()
-                    del z
-                    print("[e2e]   alloc probe OK -> transfer-side failure",
-                          flush=True)
-                except Exception as pe:  # noqa: BLE001
-                    print(f"[e2e]   alloc probe FAILED ({pe}) -> HBM "
-                          f"pressure / deletion lag", flush=True)
-                out[k] = fetch_chunked(v)
+            # SMALL slices only: a single large d2h after this worker's
+            # ~19 GB of h2d was observed (twice) to fail RESOURCE_EXHAUSTED
+            # and then BRICK the session — after it, even a 1 KiB alloc
+            # fails, so nothing later can recover. 4 MiB slices stay under
+            # whatever response-buffer limit the drained tunnel has left,
+            # and the adaptive halving inside fetch_chunked degrades
+            # further on demand.
+            out[k] = fetch_chunked(v, chunk_mib=4)
             print(f"[e2e] d2h {k}: {out[k].nbytes / 2**20:.1f} MiB "
                   f"in {time.time() - t1:.1f}s", flush=True)
         save_state(out, state_path)
