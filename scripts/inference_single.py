@@ -58,6 +58,12 @@ def parse_args():
                         "tower's blocks through HBM in layer groups (the "
                         "smallest-footprint mode — fits flagship 720p on one "
                         "16 GB chip); default keeps weights HBM-resident")
+    p.add_argument("--offload_resident_small", action="store_true",
+                   help="group offload: pin audio tower + bridge in HBM, "
+                        "stream only the video tower")
+    p.add_argument("--offload_resident_groups", type=int, default=0,
+                   help="group offload: pin the first N video layer groups "
+                        "in HBM across passes (partial residency)")
     p.add_argument("--offload_group_size", type=int, default=8,
                    help="with --offload group: DiT layers per streamed group")
     p.add_argument("--offload_to_disk_path", type=str, default=None,
@@ -178,6 +184,8 @@ def main():
                         offload=offload, mesh=mesh, quantize=args.quantize,
                         mask_ctx_pad=args.mask_ctx_pad,
                         offload_group_size=args.offload_group_size,
+                        offload_resident_small=args.offload_resident_small,
+                        offload_resident_video_groups=args.offload_resident_groups,
                         vae_encode_dtype=args.vae_encode_dtype)
 
     image = Image.open(args.ref_path).convert("RGB")
