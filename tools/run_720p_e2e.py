@@ -298,6 +298,20 @@ def make_reference_frame(height: int, width: int) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
+def fetch_via_cpu_backend(v, log=print):
+    """Alternative d2h: cross-backend device_put onto the client's own CPU
+    backend (the axon plugin registers jax_platforms="axon,cpu" with a
+    cross-client transfer shim). Exercises a different transfer path than
+    jax.Array.__array__'s direct fetch, which after a full streamed pass
+    fails RESOURCE_EXHAUSTED at ANY size."""
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    moved = jax.device_put(v, cpu)
+    moved.block_until_ready()
+    return np.asarray(moved)
+
+
 def fetch_chunked(v, chunk_mib: int = 16, log=print):
     """Device->host in bounded slices. One whole-array d2h needs one
     whole-array pinned host buffer in the tunneled-TPU client; after
@@ -691,14 +705,20 @@ def main():
             if not fresh and k not in mutated:
                 continue  # constant leaf: keep the on-disk copy
             t1 = time.time()
-            # SMALL slices only: a single large d2h after this worker's
-            # ~19 GB of h2d was observed (twice) to fail RESOURCE_EXHAUSTED
-            # and then BRICK the session — after it, even a 1 KiB alloc
-            # fails, so nothing later can recover. 4 MiB slices stay under
-            # whatever response-buffer limit the drained tunnel has left,
-            # and the adaptive halving inside fetch_chunked degrades
-            # further on demand.
-            out[k] = fetch_chunked(v, chunk_mib=4)
+            # After a full streamed pass the direct fetch path
+            # (jax.Array.__array__) fails RESOURCE_EXHAUSTED at ANY size —
+            # observed at 45 MiB whole-leaf, 4 MiB and 2 MiB slices alike.
+            # The cross-backend device_put (axon -> in-client CPU backend)
+            # rides the plugin's cross-client shim instead; fall back to
+            # adaptive small slices if it too fails.
+            try:
+                out[k] = _fetch_retry(lambda: fetch_via_cpu_backend(v),
+                                      attempts=2, backoff_s=30.0)
+            except Exception as e:  # noqa: BLE001
+                print(f"[e2e] cpu-backend fetch of {k} failed "
+                      f"({type(e).__name__}); falling back to slices",
+                      flush=True)
+                out[k] = fetch_chunked(v, chunk_mib=4)
             print(f"[e2e] d2h {k}: {out[k].nbytes / 2**20:.1f} MiB "
                   f"in {time.time() - t1:.1f}s", flush=True)
         save_state(out, state_path)
@@ -827,9 +847,10 @@ def orchestrate(args):
         chunks = [(0, 0)] + chunks
 
     total_passes = sum(counts)
-    print(f"[e2e] chunked run: prepare + {len(chunks) - 1} denoise workers "
-          f"+ finalize ({total_passes} passes, boundary step {boundary}, "
-          f"chunks {chunks})", flush=True)
+    n_workers = sum(1 for a, b in chunks if b > a)
+    print(f"[e2e] chunked run: {'resume' if have_state else 'prepare'} + "
+          f"{n_workers} denoise workers + finalize ({total_passes} passes, "
+          f"boundary step {boundary}, chunks {chunks})", flush=True)
     t0 = time.time()
 
     def run_retry(argv, what):
