@@ -687,13 +687,28 @@ def main():
             state["neg_cache_v"] = state["neg_cache_a"] = None
             print("[e2e] negative cache not carried (next step refreshes)",
                   flush=True)
-        # settle the device before fetching: drop every dead reference so
-        # the queued buffer-deletion RPCs flush (a trailing op forces the
-        # channel), minimizing HBM pressure at d2h time
+        # Settle the device before fetching. Drop EVERYTHING the fetch does
+        # not need: the pipeline (host trees + jitted callables), then the
+        # executable caches — at 176k tokens the streamed-pass programs are
+        # enormous, and unloading them releases device program space and
+        # whatever the remote proxy holds per loaded executable. Without
+        # this, every post-pass transfer mechanism tried (whole-leaf,
+        # 4/2/1 MiB slices, cross-backend device_put) failed
+        # RESOURCE_EXHAUSTED.
         import gc
 
+        del pipe
         gc.collect()
-        jnp.zeros((8,), jnp.float32).block_until_ready()
+        jax.clear_caches()
+        gc.collect()
+        time.sleep(10.0)
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            print(f"[e2e] pre-fetch memory_stats: "
+                  f"{ {k: v for k, v in stats.items() if 'bytes' in k} }",
+                  flush=True)
+        except Exception:  # noqa: BLE001
+            pass
         # d2h leaf-by-leaf, in bounded slices, with progress: a hung tunnel
         # transfer must name the array (and slice) it hung on (observed:
         # >10 min futex-wait saving a ~100 MB state with zero IO progress)
@@ -719,6 +734,7 @@ def main():
                       f"({type(e).__name__}); falling back to slices",
                       flush=True)
                 out[k] = fetch_chunked(v, chunk_mib=4)
+            state[k] = v = None  # release the device buffer before the next
             print(f"[e2e] d2h {k}: {out[k].nbytes / 2**20:.1f} MiB "
                   f"in {time.time() - t1:.1f}s", flush=True)
         save_state(out, state_path)
