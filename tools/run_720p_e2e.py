@@ -312,6 +312,31 @@ def fetch_via_cpu_backend(v, log=print):
     return np.asarray(moved)
 
 
+def fetch_via_io_callback(v, log=print):
+    """Last-resort d2h: pull the array out through a host callback inside a
+    jitted program. Callback argument transport rides the EXECUTION
+    machinery, which demonstrably still works after heavy streaming (the
+    passes themselves complete) even when every direct-fetch path returns
+    RESOURCE_EXHAUSTED."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import io_callback
+
+    captured = []
+
+    def sink(x):
+        captured.append(np.asarray(x))
+        return np.int32(0)
+
+    @jax.jit
+    def pull(x):
+        return io_callback(sink, jax.ShapeDtypeStruct((), jnp.int32), x,
+                           ordered=True)
+
+    pull(v).block_until_ready()
+    return captured[0]
+
+
 def fetch_chunked(v, chunk_mib: int = 16, log=print):
     """Device->host in bounded slices. One whole-array d2h needs one
     whole-array pinned host buffer in the tunneled-TPU client; after
@@ -731,9 +756,15 @@ def main():
                                       attempts=2, backoff_s=30.0)
             except Exception as e:  # noqa: BLE001
                 print(f"[e2e] cpu-backend fetch of {k} failed "
-                      f"({type(e).__name__}); falling back to slices",
+                      f"({type(e).__name__}); trying io_callback",
                       flush=True)
-                out[k] = fetch_chunked(v, chunk_mib=4)
+                try:
+                    out[k] = fetch_via_io_callback(v)
+                except Exception as e2:  # noqa: BLE001
+                    print(f"[e2e] io_callback fetch of {k} failed "
+                          f"({type(e2).__name__}); falling back to slices",
+                          flush=True)
+                    out[k] = fetch_chunked(v, chunk_mib=4)
             state[k] = v = None  # release the device buffer before the next
             print(f"[e2e] d2h {k}: {out[k].nbytes / 2**20:.1f} MiB "
                   f"in {time.time() - t1:.1f}s", flush=True)
