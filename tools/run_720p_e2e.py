@@ -523,6 +523,14 @@ def main():
     ap.add_argument("--vae_encode_dtype", type=str, default="bf16",
                     help="VAE encoder compute dtype; f32 needs ~18 GB HBM "
                          "at 720p (OOM on a 16 GB v5e), bf16 fits")
+    ap.add_argument("--chunk_align_refresh", action="store_true",
+                    help="chunked mode: split the denoise at CFG-cache "
+                         "refresh boundaries (i %% cache_interval == 0, the "
+                         "expert switch, the end) so no worker ever has to "
+                         "transport the negative cache — the post-pass d2h "
+                         "path degrades to ~0.1 MB/s on this tunnel, so "
+                         "minimizing transported bytes beats minimizing "
+                         "per-process passes")
     ap.add_argument("--chunk_passes", type=int, default=3,
                     help="max streamed forward passes per PROCESS: the "
                          "tunneled-TPU client pins a host copy of every "
@@ -738,33 +746,40 @@ def main():
         # transfer must name the array (and slice) it hung on (observed:
         # >10 min futex-wait saving a ~100 MB state with zero IO progress)
         out = dict(load_state(state_path)) if not fresh else {}
-        for k, v in state.items():
+        # smallest leaves first: the first post-pass fetch "pushes through"
+        # the degraded transfer path (observed: first fetch ~0.1 MB/s,
+        # repro'd), so pathfind with the 0.2 MiB audio latents, not the
+        # 45 MiB video latents
+        order = sorted(
+            state.keys(),
+            key=lambda k: (0 if k in ("settings", "step")
+                           or state[k] is None
+                           else int(np.prod(np.shape(state[k])))))
+        for k in order:
+            v = state[k]
             if k in ("settings", "step") or v is None:
                 out[k] = v
                 continue
             if not fresh and k not in mutated:
                 continue  # constant leaf: keep the on-disk copy
             t1 = time.time()
-            # After a full streamed pass the direct fetch path
-            # (jax.Array.__array__) fails RESOURCE_EXHAUSTED at ANY size —
-            # observed at 45 MiB whole-leaf, 4 MiB and 2 MiB slices alike.
-            # The cross-backend device_put (axon -> in-client CPU backend)
-            # rides the plugin's cross-client shim instead; fall back to
-            # adaptive small slices if it too fails.
+            # Small slices with PATIENCE: the post-pass d2h path degrades to
+            # ~0.1 MB/s on this tunnel (measured: 40 MiB in 357 s) and can
+            # also throw RESOURCE_EXHAUSTED; fetch_chunked retries each
+            # slice and shrinks on error. Cross-backend and io_callback
+            # transports remain as whole-leaf fallbacks.
             try:
-                out[k] = _fetch_retry(lambda: fetch_via_cpu_backend(v),
-                                      attempts=2, backoff_s=30.0)
+                out[k] = fetch_chunked(v, chunk_mib=4)
             except Exception as e:  # noqa: BLE001
-                print(f"[e2e] cpu-backend fetch of {k} failed "
-                      f"({type(e).__name__}); trying io_callback",
+                print(f"[e2e] sliced fetch of {k} failed "
+                      f"({type(e).__name__}); trying cpu-backend",
                       flush=True)
                 try:
+                    out[k] = fetch_via_cpu_backend(v)
+                except Exception:  # noqa: BLE001
+                    print(f"[e2e] cpu-backend fetch of {k} failed; "
+                          f"trying io_callback", flush=True)
                     out[k] = fetch_via_io_callback(v)
-                except Exception as e2:  # noqa: BLE001
-                    print(f"[e2e] io_callback fetch of {k} failed "
-                          f"({type(e2).__name__}); falling back to slices",
-                          flush=True)
-                    out[k] = fetch_chunked(v, chunk_mib=4)
             state[k] = v = None  # release the device buffer before the next
             print(f"[e2e] d2h {k}: {out[k].nbytes / 2**20:.1f} MiB "
                   f"in {time.time() - t1:.1f}s", flush=True)
@@ -827,7 +842,17 @@ def orchestrate(args):
     sched.set_timesteps(args.steps, shift=5.0)
     boundary = build_plan(sched, cfg.boundary_ratio).boundary_step
     counts = pass_schedule(args.steps, args.cfg_cache_interval, boundary)
-    chunks = split_chunks(counts, args.chunk_passes)
+    if args.chunk_align_refresh:
+        k_int = max(1, args.cfg_cache_interval)
+        bounds = sorted({s for s in range(1, args.steps)
+                         if s % k_int == 0 or s == boundary}
+                        | {args.steps})
+        chunks, a = [], 0
+        for b in bounds:
+            chunks.append((a, b))
+            a = b
+    else:
+        chunks = split_chunks(counts, args.chunk_passes)
 
     state_dir = args.state_dir or (os.path.dirname(args.output) or ".")
     os.makedirs(state_dir, exist_ok=True)
@@ -900,13 +925,17 @@ def orchestrate(args):
           f"boundary step {boundary}, chunks {chunks})", flush=True)
     t0 = time.time()
 
-    def run_retry(argv, what):
+    def run_retry(argv, what, timeout_s=2700.0):
         # a worker that dies on a saturated tunnel (RESOURCE_EXHAUSTED on
         # the state d2h) is safely re-runnable: the on-disk state is only
         # replaced at the end, so a fresh process (fresh transfer pool)
-        # just re-does the same steps
+        # just re-does the same steps. The timeout guards against the other
+        # observed failure mode: a d2h that wedges forever with no progress.
         for k in range(3):
-            rc = subprocess.run(argv).returncode
+            try:
+                rc = subprocess.run(argv, timeout=timeout_s).returncode
+            except subprocess.TimeoutExpired:
+                rc = "timeout"
             if rc == 0:
                 return
             print(f"[e2e] {what} failed rc={rc} "
