@@ -925,7 +925,7 @@ def orchestrate(args):
           f"boundary step {boundary}, chunks {chunks})", flush=True)
     t0 = time.time()
 
-    def run_retry(argv, what, timeout_s=2700.0):
+    def run_retry(argv, what, timeout_s=5400.0):
         # a worker that dies on a saturated tunnel (RESOURCE_EXHAUSTED on
         # the state d2h) is safely re-runnable: the on-disk state is only
         # replaced at the end, so a fresh process (fresh transfer pool)
@@ -943,7 +943,12 @@ def orchestrate(args):
             time.sleep(60.0)
         raise SystemExit(f"{what} failed after 3 attempts")
 
-    for a, b in chunks:
+    for ci, (a, b) in enumerate(chunks):
+        if ci:
+            # transport-breather: the session tunnel throttles after bulk
+            # volume (measured: relay drains at ~1 KB/s when drained);
+            # give the quota a moment to replenish between workers
+            time.sleep(120.0)
         run_retry(base + ["--worker_range", f"{a}:{b}"],
                   f"worker [{a}, {b})")
     run_retry(base + ["--worker_finalize"], "finalize worker")
