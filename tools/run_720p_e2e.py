@@ -350,7 +350,11 @@ def fetch_chunked(v, chunk_mib: int = 16, log=print):
     itemsize = np.dtype(v.dtype).itemsize
     elems = max(1, (chunk_mib << 20) // itemsize)
     if n <= elems:
-        return np.asarray(v)
+        # patience also below the slicing threshold: the first post-sweep
+        # fetch can block ~15 min on a starved transport (it recovers) or
+        # error out fast (retry after a long backoff)
+        return _fetch_retry(lambda: np.asarray(v), attempts=5,
+                            backoff_s=120.0, log=log)
     flat = jnp.reshape(v, (n,))
     min_elems = max(1, (1 << 20) // itemsize)  # 1 MiB floor
     parts = []
