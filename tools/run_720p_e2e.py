@@ -670,7 +670,7 @@ def main():
 
     def summarize(result, out, extra_timings):
         return {
-            "metric": "mova720p_e2e",
+            "metric": f"mova{'720p' if args.height >= 700 else '360p'}_e2e",
             "geometry": f"{args.width}x{args.height}x{args.num_frames}",
             "steps": args.steps,
             "cfg_cache_interval": args.cfg_cache_interval,
