@@ -165,15 +165,18 @@ def test_preprocess_clips_avi_in_image(tmp_path):
     out = tmp_path / "shards"
     r = subprocess.run(
         [sys.executable, "tools/preprocess_clips.py",
-         "--input", str(raw / "metadata.json"), "--output", str(out),
-         "--height", "32", "--width", "32", "--num_frames", "5",
+         "--src", str(raw), "--dst", str(out),
+         "--metadata", str(raw / "metadata.json"),
+         "--height", "32", "--width", "32",
          "--fps", "24", "--sr", "48000"],
         capture_output=True, text=True, cwd=root,
         env={k: v for k, v in os.environ.items()
              if not k.startswith(("JAX_", "XLA_"))})
     assert r.returncode == 0, r.stderr[-2000:]
-    d = np.load(out / "clip_000000.npz")
-    assert d["video"].shape == (5, 32, 32, 3) and float(d["fps"]) == 24.0
+    d = np.load(out / "a.npz")
+    # 10 frames @30fps -> 8 @24fps; the dataset trims to num_frames at load
+    assert d["video"].shape[1:] == (32, 32, 3) and d["video"].shape[0] >= 5
+    assert float(d["fps"]) == 24.0
 
     ds = VideoAudioDataset(str(out / "metadata.json"), height=32, width=32,
                            num_frames=5, fps=24.0, sample_rate=48000)
