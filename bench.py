@@ -280,8 +280,9 @@ def main():
         # 720p too (VERDICT r3 weak #3): 4x depth at 176k tokens is ~2.9 GB
         # of fp8 weights + scan-carried activations; wrapped so an OOM at
         # the big geometry degrades to a null field, not a sunk artifact
-        try:
-            dv_layers, da_layers = 4 * v_layers, 4 * a_layers
+        for mult in (4, 2):
+          try:
+            dv_layers, da_layers = mult * v_layers, mult * a_layers
             cfg_d, params_d = build(dv_layers, da_layers, jnp.float8_e4m3fn)
             step_d = make_step(attn, cfg=cfg_d)
             print(f"[bench] deep-validation compile: {dv_layers} fp8 layers",
@@ -308,9 +309,13 @@ def main():
                   f"(rel err {extrap_rel_err:.3f})", file=sys.stderr, flush=True)
             # trust the deeper (more HBM-faithful) measurement for the headline
             achieved = max(achieved, tput_deep)
-        except Exception as e:  # noqa: BLE001 — report, keep the headline
-            print(f"[bench] deep-validation phase failed (skipping): "
-                  f"{type(e).__name__}: {str(e)[:200]}",
+            break
+          except Exception as e:  # noqa: BLE001 — report, keep the headline
+            # e.g. the remote compiler 500s on the 8-layer 176k-token
+            # program — retry at half depth before giving up
+            print(f"[bench] deep-validation at {mult}x failed "
+                  f"({type(e).__name__}: {str(e)[:160]}); "
+                  + ("trying smaller depth" if mult != 2 else "skipping"),
                   file=sys.stderr, flush=True)
             params_d = out_d = None
 
