@@ -280,7 +280,10 @@ def main():
         # 720p too (VERDICT r3 weak #3): 4x depth at 176k tokens is ~2.9 GB
         # of fp8 weights + scan-carried activations; wrapped so an OOM at
         # the big geometry degrades to a null field, not a sunk artifact
-        for mult in (4, 2):
+        mults = (4, 2)
+        if os.environ.get("BENCH_DEEP_MULT"):
+            mults = (int(os.environ["BENCH_DEEP_MULT"]),)
+        for mult in mults:
           try:
             dv_layers, da_layers = mult * v_layers, mult * a_layers
             cfg_d, params_d = build(dv_layers, da_layers, jnp.float8_e4m3fn)
@@ -359,6 +362,10 @@ def main():
     # --- measured VAE decode (the second hot spot) -------------------------
     vae_decode_s = dac_decode_s = None
     if on_tpu and not small and not fast_mode:
+      # wrapped: a crashed remote compile earlier in the run leaves the
+      # session returning RESOURCE_EXHAUSTED for everything after (seen
+      # live at 720p) — keep the headline artifact
+      try:
         # free every earlier phase's HBM first: the deep fp8 tree, the int8
         # tree, and all retained outputs together otherwise OOM the chip
         # before the decoder's own intermediates (seen live: r3 headline run)
@@ -406,6 +413,11 @@ def main():
         dac_decode_s = time.perf_counter() - t0
         print(f"[bench] VAE decode {vae_decode_s:.2f}s, DAC {dac_decode_s:.2f}s",
               file=sys.stderr, flush=True)
+      except Exception as e:  # noqa: BLE001 — report, keep the headline
+        print(f"[bench] VAE decode phase failed (skipping): "
+              f"{type(e).__name__}: {str(e)[:160]}",
+              file=sys.stderr, flush=True)
+        vae_decode_s = dac_decode_s = None
     peak = 197e12 if on_tpu else 1e12  # v5e bf16 peak
     mfu = achieved / peak
 
