@@ -14,4 +14,5 @@ python scripts/inference_single.py \
   --num_frames 193 --fps 24 --height 720 --width 1280 \
   --num_inference_steps 50 --cfg_scale 5.0 --sigma_shift 5.0 --seed 42 \
   --offload group --weight_dtype fp8 --cfg_cache_interval 3 \
+  --offload_resident_small \
   --output output_720p.mp4 "$@"
