@@ -399,3 +399,40 @@ def test_component_offload_expert_switch_interval(tmp_path):
 
     trainer.train(data())
     assert seen == ["video_dit", "video_dit", "video_dit_2", "video_dit_2"]
+
+
+def test_full_ft_overfits_one_batch():
+    """The trainer LEARNS, not just runs: full-FT on one fixed batch with a
+    fixed timestep and fixed noise must drive the flow-match MSE down by >=5x
+    (reference's real LoRA-run evidence, mova_train.py:1434-1449 /
+    README.md:269-273 — here as a deterministic in-suite regression)."""
+    import optax
+
+    from dualforce_tpu.diffusion.training import make_full_ft_step
+
+    cfg = tiny_test_config()
+    params = init_pipeline_params(jax.random.PRNGKey(0), cfg)
+    sched = FlowMatchPairScheduler(cfg.scheduler)
+    sched.set_timesteps(1000, training=True)
+    tables = build_train_tables(sched, cfg.boundary_ratio)
+    encoded = encode_batch(params, cfg, _batch(cfg), compute_dtype=jnp.float32)
+
+    trainable = {m: params[m] for m in ("video_dit", "audio_dit", "bridge")}
+    frozen = {k: v for k, v in params.items() if k not in trainable}
+    optimizer = optax.adamw(2e-3)
+    opt_state = optimizer.init(trainable)
+    step = make_full_ft_step(cfg, tables, optimizer,
+                             compute_dtype=jnp.float32, remat=False,
+                             attn_impl="ref")
+
+    rng = jax.random.PRNGKey(7)  # SAME key every step: fixed t + fixed noise
+    losses = []
+    for _ in range(40):
+        trainable, opt_state, metrics = step(trainable, opt_state, frozen,
+                                             encoded, rng, 0)
+        losses.append(float(metrics["loss"]))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0] / 5.0, (
+        f"no learning: loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+    # and it should fall monotonically-ish, not just dip at the end
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) / 5.0

@@ -312,6 +312,66 @@ def fetch_via_cpu_backend(v, log=print):
     return np.asarray(moved)
 
 
+class WarmPullers:
+    """Pre-compiled io_callback dump programs, one per (shape, dtype).
+
+    Round-4 finding (out/720p/run_r4e.log, run_r4f.log): after a 176k-token
+    streamed sweep, EVERY cold post-sweep operation fails RESOURCE_EXHAUSTED —
+    direct d2h at any size, cross-backend device_put, io_callback, even a
+    fresh jnp.reshape — yet the sweep's own warm executables keep executing
+    across steps (steps 2..N run fine after step 1's sweep), and the
+    prepare-only worker's state fetch succeeds. Hypothesis: the poison hits
+    NEW compiles/loads and raw transfer-pool allocations, not warm
+    executions. So: compile AND run the dump program once at worker start
+    (fresh session, dummy input) so the post-sweep call is a pure warm
+    execution whose d2h rides the host-callback (outfeed) machinery."""
+
+    def __init__(self, log=print):
+        self._pullers = {}
+        self._box = {}
+        self._log = log
+
+    @staticmethod
+    def _key(shape, dtype):
+        return (tuple(shape), str(np.dtype(dtype)))
+
+    def warm(self, shape, dtype):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import io_callback
+
+        key = self._key(shape, dtype)
+        if key in self._pullers:
+            return
+        box = self._box
+
+        def sink(x):
+            box["val"] = np.asarray(x)
+            return np.int32(0)
+
+        @jax.jit
+        def pull(x):
+            return io_callback(sink, jax.ShapeDtypeStruct((), jnp.int32), x,
+                               ordered=True)
+
+        t0 = time.time()
+        pull(jnp.zeros(shape, dtype)).block_until_ready()
+        box.pop("val", None)
+        self._pullers[key] = pull
+        self._log(f"[e2e] warm puller {key[1]}{list(shape)} ready "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+
+    def pull(self, v):
+        key = self._key(np.shape(v), v.dtype)
+        if key not in self._pullers:
+            raise KeyError(f"no warm puller for {key}")
+        self._box.pop("val", None)
+        self._pullers[key](v).block_until_ready()
+        out = self._box.pop("val")
+        assert out.shape == tuple(np.shape(v))
+        return out
+
+
 def fetch_via_io_callback(v, log=print):
     """Last-resort d2h: pull the array out through a host callback inside a
     jitted program. Callback argument transport rides the EXECUTION
@@ -703,6 +763,25 @@ def main():
             state = load_state(state_path)
         print(f"[e2e] worker steps [{a}, {b}) of {args.steps} "
               f"backend={jax.devices()[0].platform}", flush=True)
+        mutated = {"latents", "audio_latents", "neg_cache_v", "neg_cache_a"}
+        k_int = args.cfg_cache_interval
+        cache_dead = (b >= args.steps or b == _boundary_step(args)
+                      or k_int <= 1 or b % k_int == 0)
+        pullers = None
+        if b > a and not fresh:
+            # warm the post-sweep dump programs NOW, while the session is
+            # fresh: post-sweep they are pure warm executions (see WarmPullers)
+            pullers = WarmPullers()
+            try:
+                for leaf in ("latents", "audio_latents"):
+                    v = state[leaf]
+                    pullers.warm(np.shape(v), v.dtype)
+                    if not cache_dead:  # carried caches are f32, same shapes
+                        pullers.warm(np.shape(v), np.float32)
+            except Exception as e:  # noqa: BLE001
+                print(f"[e2e] warm-pull setup failed ({type(e).__name__}); "
+                      f"cold fallbacks only", flush=True)
+                pullers = None
         t0 = time.time()
         _progress.last = t0  # first step's dt = real wall incl. compile
         state = pipe.denoise_state(state, max_steps=b - a)
@@ -715,15 +794,36 @@ def main():
         # keys the denoise mutates come back, and the CFG negative cache is
         # dropped entirely when the next chunk's first step refreshes it
         # anyway (i % cache_interval == 0, the boundary reset, or the end).
-        mutated = {"latents", "audio_latents", "neg_cache_v", "neg_cache_a"}
-        k_int = args.cfg_cache_interval
-        cache_dead = (b >= args.steps or b == _boundary_step(args)
-                      or k_int <= 1 or b % k_int == 0)
         if cache_dead:
             mutated -= {"neg_cache_v", "neg_cache_a"}
             state["neg_cache_v"] = state["neg_cache_a"] = None
             print("[e2e] negative cache not carried (next step refreshes)",
                   flush=True)
+        if pullers is not None:
+            # warm-pull path: fetch every mutated leaf through the
+            # pre-compiled dump programs BEFORE any teardown (clear_caches
+            # would evict the warm executables), smallest first
+            try:
+                out = dict(load_state(state_path))
+                for k in sorted(
+                        (k for k in mutated if state.get(k) is not None),
+                        key=lambda k: int(np.prod(np.shape(state[k])))):
+                    t1 = time.time()
+                    out[k] = pullers.pull(state[k])
+                    print(f"[e2e] warm-pull {k}: "
+                          f"{out[k].nbytes / 2**20:.1f} MiB in "
+                          f"{time.time() - t1:.1f}s", flush=True)
+                for k, v in state.items():
+                    if k in ("settings", "step") or v is None:
+                        out[k] = v
+                save_state(out, state_path)
+                print(f"[e2e] state saved (warm-pull) -> {state_path}",
+                      flush=True)
+                return
+            except Exception as e:  # noqa: BLE001
+                print(f"[e2e] warm-pull fetch failed "
+                      f"({type(e).__name__}: {str(e)[:160]}); "
+                      f"falling back to cold transports", flush=True)
         # Settle the device before fetching. Drop EVERYTHING the fetch does
         # not need: the pipeline (host trees + jitted callables), then the
         # executable caches — at 176k tokens the streamed-pass programs are
