@@ -61,9 +61,12 @@ def parse_args():
     p.add_argument("--offload_resident_small", action="store_true",
                    help="group offload: pin audio tower + bridge in HBM, "
                         "stream only the video tower")
-    p.add_argument("--offload_resident_groups", type=int, default=0,
+    p.add_argument("--offload_resident_groups", "--resident_groups",
+                   type=int, default=0,
                    help="group offload: pin the first N video layer groups "
-                        "in HBM across passes (partial residency)")
+                        "in HBM across passes (partial residency); "
+                        "--resident_groups (the tools/run_720p_e2e.py "
+                        "spelling) is accepted as an alias")
     p.add_argument("--offload_group_size", type=int, default=8,
                    help="with --offload group: DiT layers per streamed group")
     p.add_argument("--offload_to_disk_path", type=str, default=None,

@@ -20,13 +20,19 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def infer_main():
-    """Data-axis generate across processes (the reference's torchrun dp
-    inference, inference_single.py:58-71): a global batch of two items is
-    sharded one-per-process over the `data` mesh axis and driven through the
-    PRODUCTION denoise_loop (dual expert phases, CFG with cache, paired
-    Euler updates). Process 0 writes the final latents; the parent asserts
-    world=2 equals world=1."""
+def infer_main(cp: bool = False):
+    """Generate across processes through the PRODUCTION denoise_loop (dual
+    expert phases, CFG with cache, paired Euler updates).
+
+    cp=False — data axis (the reference's torchrun dp inference,
+    inference_single.py:58-71): a global batch of two items is sharded
+    one-per-process over the `data` mesh axis.
+
+    cp=True — SEQUENCE axis (the reference's cp/Ulysses serving layout,
+    inference_single.py:102-119): ONE item, the mesh's `cp` axis spans the
+    two processes, inputs replicated, ring/all-to-all collectives cross the
+    process boundary inside sp_forward_blocks. The parent asserts world=2
+    equals the plain world=1 run bit-close."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -48,7 +54,7 @@ def infer_main():
     from dualforce_tpu.models.factory import init_pipeline_params
 
     cfg = tiny_test_config()
-    mesh = create_mesh(data=world)
+    mesh = create_mesh(1, 1, world) if cp else create_mesh(data=world)
 
     params = init_pipeline_params(jax.random.PRNGKey(0), cfg,
                                   with_vaes=False, with_text=False)
@@ -69,12 +75,21 @@ def infer_main():
             "ctx_pos": jax.random.normal(ks[3], (tl, td), jnp.float32),
         }
 
+    if cp:
+        b = 1  # one prompt; parallelism is over the sequence, not the batch
     rows = [jax.tree.map(np.asarray, item(i)) for i in range(b)]
     g = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
-    local = {k: (v if world == 1 else v[pid:pid + 1]) for k, v in g.items()}
-    batch = jax.tree.map(
-        lambda x: multihost_utils.host_local_array_to_global_array(
-            x, mesh, P("data")), local)
+    if cp:
+        # inputs replicated; sp_forward_blocks shards the sequence over `cp`
+        batch = jax.tree.map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                x, mesh, P()), g)
+    else:
+        local = {k: (v if world == 1 else v[pid:pid + 1])
+                 for k, v in g.items()}
+        batch = jax.tree.map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                x, mesh, P("data")), local)
     params = jax.tree.map(
         lambda x: multihost_utils.host_local_array_to_global_array(
             np.asarray(x), mesh, P()), params)
@@ -89,7 +104,7 @@ def infer_main():
         params["bridge"], cfg, batch["latents"], batch["condition"],
         batch["audio_latents"], batch["ctx_pos"], ctx_neg, plan,
         cfg_scale=5.0, cfg_cache_interval=2, compute_dtype=jnp.float32,
-        attn_impl="ref")
+        attn_impl="ref", sp_mesh=mesh if (cp and world > 1) else None)
 
     out = {"latents": np.asarray(multihost_utils.process_allgather(
                lat, tiled=True)),
@@ -104,6 +119,8 @@ def infer_main():
 def main():
     if os.environ.get("MODE") == "infer":
         return infer_main()
+    if os.environ.get("MODE") == "infer_cp":
+        return infer_main(cp=True)
     import jax
 
     # axon's sitecustomize overrides the JAX_PLATFORMS env var; config.update

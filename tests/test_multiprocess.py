@@ -83,3 +83,24 @@ def test_two_process_data_parallel_generate_matches_single(tmp_path):
         np.testing.assert_allclose(
             g2[k], g1[k], rtol=2e-5, atol=2e-5,
             err_msg=f"generate mismatch across process counts: {k}")
+
+
+def test_two_process_cp_axis_generate_matches_single(tmp_path):
+    """The SEQUENCE axis spanning processes (VERDICT r4 next #8 — the
+    multi-host serving layout): one prompt, mesh cp=2 across two
+    jax.distributed processes, ring/all-to-all collectives crossing the
+    process boundary inside the production denoise_loop, must equal the
+    plain single-process cp=1 run. Counterpart of the reference's
+    multi-GPU context-parallel inference (inference_single.py:102-119)."""
+    single = str(tmp_path / "gen_cp_w1.npz")
+    dual = str(tmp_path / "gen_cp_w2.npz")
+    _run_world(1, single, mode="infer_cp")
+    _run_world(2, dual, mode="infer_cp")
+    g1 = np.load(single)
+    g2 = np.load(dual)
+    assert set(g1.files) == {"latents", "audio_latents"}
+    for k in g1.files:
+        assert g1[k].shape[0] == 1 and np.isfinite(g1[k]).all()
+        np.testing.assert_allclose(
+            g2[k], g1[k], rtol=2e-5, atol=2e-5,
+            err_msg=f"cp generate mismatch across process counts: {k}")

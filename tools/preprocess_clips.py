@@ -42,20 +42,37 @@ import numpy as np
 VIDEO_EXTS = (".mp4", ".mov", ".mkv", ".webm", ".m4v", ".avi")
 
 
+def _parse_fps(s: dict) -> float | None:
+    """r_frame_rate with avg_frame_rate fallback; attached-picture 'video'
+    streams report '0/0', which must not abort the batch."""
+    for key in ("r_frame_rate", "avg_frame_rate"):
+        num, _, den = s.get(key, "").partition("/")
+        try:
+            v = float(num) / float(den or 1)
+        except (ValueError, ZeroDivisionError):
+            continue
+        if v > 0:
+            return v
+    return None
+
+
 def probe(path: str):
     """ffprobe -> (width, height, fps, has_audio)."""
     out = subprocess.run(
         ["ffprobe", "-v", "error", "-show_entries",
-         "stream=codec_type,width,height,r_frame_rate", "-of", "json", path],
+         "stream=codec_type,width,height,r_frame_rate,avg_frame_rate"
+         ":stream_disposition=attached_pic", "-of", "json", path],
         capture_output=True, check=True).stdout
     width = height = None
     fps = 24.0
     has_audio = False
     for s in json.loads(out).get("streams", []):
-        if s.get("codec_type") == "video" and width is None:
+        if (s.get("codec_type") == "video" and width is None
+                and not s.get("disposition", {}).get("attached_pic")):
+            # attached cover art is also codec_type=video; skip it or the
+            # real movie stream never gets probed
             width, height = s["width"], s["height"]
-            num, _, den = s.get("r_frame_rate", "24/1").partition("/")
-            fps = float(num) / float(den or 1)
+            fps = _parse_fps(s) or fps
         elif s.get("codec_type") == "audio":
             has_audio = True
     if width is None:
@@ -73,13 +90,20 @@ def decode_with_ffmpeg(path: str, *, fps: float | None = None,
     the same contract the dataset's .npz branch expects."""
     w0, h0, fps0, has_audio = probe(path)
     out_fps = fps or fps0
+    # aspect-preserved fill-in computed HERE (not via ffmpeg's scale=-2):
+    # the raw-pipe reshape below must know the exact output frame size, so
+    # pass ffmpeg explicit dimensions (even-rounded like -2 would)
     out_w, out_h = width or w0, height or h0
+    if width and not height:
+        out_h = max(2, round(h0 * width / w0 / 2) * 2)
+    elif height and not width:
+        out_w = max(2, round(w0 * height / h0 / 2) * 2)
 
     vf = [f"fps={out_fps}"]
     if width or height:
         # the dataset center-crops/resizes again if needed; scale here keeps
-        # shards small. -2 preserves aspect when only one side is given.
-        vf.append(f"scale={width or -2}:{height or -2}")
+        # shards small
+        vf.append(f"scale={out_w}:{out_h}")
     raw = subprocess.run(
         ["ffmpeg", "-v", "error", "-i", path, "-vf", ",".join(vf),
          "-f", "rawvideo", "-pix_fmt", "rgb24", "-"],
@@ -170,10 +194,19 @@ def preprocess(src: str, dst: str, *, metadata: str | None = None,
     decode = decode or decode_auto
     os.makedirs(dst, exist_ok=True)
     out_meta = []
+    used_stems: set[str] = set()
     for path, caption in iter_items(src, metadata):
         video, audio, clip_fps, clip_sr = decode(
             path, fps=fps, height=height, width=width, sr=sr)
         stem = os.path.splitext(os.path.basename(path))[0]
+        if stem in used_stems:
+            # a.mp4 + a.mkv (or same name in two subdirs) must not silently
+            # overwrite each other's shard
+            k = 2
+            while f"{stem}_{k}" in used_stems:
+                k += 1
+            stem = f"{stem}_{k}"
+        used_stems.add(stem)
         if fmt == "npz":
             shard = f"{stem}.npz"
             np.savez(os.path.join(dst, shard), video=video, audio=audio,
