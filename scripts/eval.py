@@ -90,6 +90,15 @@ def _find_clips(directory: str):
     for name in sorted(os.listdir(directory)):
         p = os.path.join(directory, name)
         if name.lower().endswith(_CLIP_EXTS):
+            if name.lower().endswith(".npz"):
+                # state checkpoints / caches are also .npz — only shards
+                # with a `video` array are clips
+                try:
+                    with np.load(p) as z:
+                        if "video" not in z.files:
+                            continue
+                except Exception:  # noqa: BLE001 — unreadable: not a clip
+                    continue
             out.append(p)
         elif os.path.isdir(p) and any(
                 f.lower().endswith((".jpg", ".jpeg", ".png"))
