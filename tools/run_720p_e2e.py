@@ -312,23 +312,25 @@ def fetch_via_cpu_backend(v, log=print):
     return np.asarray(moved)
 
 
-class WarmPullers:
-    """Pre-compiled io_callback dump programs, one per (shape, dtype).
+class WarmCopiers:
+    """Pre-compiled per-shape copy programs (x + 0), warmed at worker start.
 
-    Round-4 finding (out/720p/run_r4e.log, run_r4f.log): after a 176k-token
-    streamed sweep, EVERY cold post-sweep operation fails RESOURCE_EXHAUSTED —
-    direct d2h at any size, cross-backend device_put, io_callback, even a
-    fresh jnp.reshape — yet the sweep's own warm executables keep executing
-    across steps (steps 2..N run fine after step 1's sweep), and the
-    prepare-only worker's state fetch succeeds. Hypothesis: the poison hits
-    NEW compiles/loads and raw transfer-pool allocations, not warm
-    executions. So: compile AND run the dump program once at worker start
-    (fresh session, dummy input) so the post-sweep call is a pure warm
-    execution whose d2h rides the host-callback (outfeed) machinery."""
+    Round-4/5 findings (out/720p/run_r4e.log, run_r4f.log, run_r5probe.log):
+    after a 176k-token streamed sweep, cold post-sweep operations fail
+    RESOURCE_EXHAUSTED (direct d2h at any size, cross-backend device_put,
+    fresh-compiled reshape) while the sweep's own warm executables keep
+    executing across steps. io_callback is NOT a workaround: on this tunnel
+    a host callback blocks forever even in a FRESH session (round-5 probe —
+    the callback return channel apparently doesn't exist through the relay),
+    which also reinterprets round-4's "io_callback failed" as the fallback
+    never having been viable. What remains controllable: (a) a warm COPY
+    program as a post-sweep canary separating execution health from
+    transfer health, and (b) patience — the r4 360p runs showed the first
+    post-sweep fetch can block ~16 min and then flow; the 720p attempts
+    never waited longer than ~10 min of retries."""
 
     def __init__(self, log=print):
-        self._pullers = {}
-        self._box = {}
+        self._fns = {}
         self._log = log
 
     @staticmethod
@@ -338,37 +340,22 @@ class WarmPullers:
     def warm(self, shape, dtype):
         import jax
         import jax.numpy as jnp
-        from jax.experimental import io_callback
 
         key = self._key(shape, dtype)
-        if key in self._pullers:
+        if key in self._fns:
             return
-        box = self._box
-
-        def sink(x):
-            box["val"] = np.asarray(x)
-            return np.int32(0)
-
-        @jax.jit
-        def pull(x):
-            return io_callback(sink, jax.ShapeDtypeStruct((), jnp.int32), x,
-                               ordered=True)
-
+        fn = jax.jit(lambda x: x + jnp.zeros((), x.dtype))
         t0 = time.time()
-        pull(jnp.zeros(shape, dtype)).block_until_ready()
-        box.pop("val", None)
-        self._pullers[key] = pull
-        self._log(f"[e2e] warm puller {key[1]}{list(shape)} ready "
+        fn(jnp.zeros(shape, dtype)).block_until_ready()
+        self._fns[key] = fn
+        self._log(f"[e2e] warm copier {key[1]}{list(shape)} ready "
                   f"({time.time() - t0:.1f}s)", flush=True)
 
-    def pull(self, v):
-        key = self._key(np.shape(v), v.dtype)
-        if key not in self._pullers:
-            raise KeyError(f"no warm puller for {key}")
-        self._box.pop("val", None)
-        self._pullers[key](v).block_until_ready()
-        out = self._box.pop("val")
-        assert out.shape == tuple(np.shape(v))
+    def copy(self, v):
+        """Warm-execute a device-side copy; returns the fresh device array."""
+        fn = self._fns[self._key(np.shape(v), v.dtype)]
+        out = fn(v)
+        out.block_until_ready()
         return out
 
 
@@ -397,7 +384,8 @@ def fetch_via_io_callback(v, log=print):
     return captured[0]
 
 
-def fetch_chunked(v, chunk_mib: int = 16, log=print):
+def fetch_chunked(v, chunk_mib: int = 16, log=print, attempts: int = 5,
+                  backoff_s: float = 120.0):
     """Device->host in bounded slices. One whole-array d2h needs one
     whole-array pinned host buffer in the tunneled-TPU client; after
     prepare_state's ~6 GB of h2d staging that allocation was observed to
@@ -413,8 +401,8 @@ def fetch_chunked(v, chunk_mib: int = 16, log=print):
         # patience also below the slicing threshold: the first post-sweep
         # fetch can block ~15 min on a starved transport (it recovers) or
         # error out fast (retry after a long backoff)
-        return _fetch_retry(lambda: np.asarray(v), attempts=5,
-                            backoff_s=120.0, log=log)
+        return _fetch_retry(lambda: np.asarray(v), attempts=attempts,
+                            backoff_s=backoff_s, log=log)
     flat = jnp.reshape(v, (n,))
     min_elems = max(1, (1 << 20) // itemsize)  # 1 MiB floor
     parts = []
@@ -423,7 +411,9 @@ def fetch_chunked(v, chunk_mib: int = 16, log=print):
         b = min(n, a + elems)
         t0 = time.time()
         try:
-            parts.append(_fetch_retry(lambda: np.asarray(flat[a:b]), log=log))
+            parts.append(_fetch_retry(lambda: np.asarray(flat[a:b]),
+                                      attempts=attempts,
+                                      backoff_s=backoff_s, log=log))
         except Exception:  # noqa: BLE001
             if elems <= min_elems:
                 raise
@@ -610,6 +600,14 @@ def main():
                     help="jax persistent compilation cache dir (default: "
                          "<state_dir>/compile_cache) — chunk workers after "
                          "the first then skip the ~200 s 720p compile")
+    ap.add_argument("--fetch_quiet_s", type=float, default=0.0,
+                    help="sleep this long after the sweep before the first "
+                         "post-sweep d2h (the relay's transfer quota "
+                         "recovers over ~10-20 min after bulk staging)")
+    ap.add_argument("--fetch_attempts", type=int, default=5,
+                    help="retries per post-sweep d2h slice")
+    ap.add_argument("--fetch_backoff_s", type=float, default=120.0,
+                    help="backoff between post-sweep d2h retries")
     ap.add_argument("--resume", action="store_true",
                     help="chunked mode: reuse an existing e2e_state.npz for "
                          "the same recipe (skips prepare and finished steps) "
@@ -660,6 +658,8 @@ def main():
         args.height, args.width = 64, 64
         args.num_frames, args.steps = 9, 2
         args.group_size = 1
+        if args.output == "out/720p/e2e.mp4":  # don't shadow a real clip
+            args.output = "out/dry_e2e.avi"
     else:
         cfg = MOVAConfig()  # constructor defaults = flagship geometry
 
@@ -773,21 +773,22 @@ def main():
         k_int = args.cfg_cache_interval
         cache_dead = (b >= args.steps or b == _boundary_step(args)
                       or k_int <= 1 or b % k_int == 0)
-        pullers = None
+        copiers = None
         if b > a and not fresh:
-            # warm the post-sweep dump programs NOW, while the session is
-            # fresh: post-sweep they are pure warm executions (see WarmPullers)
-            pullers = WarmPullers()
+            # warm per-shape copy programs NOW, while the session is fresh:
+            # post-sweep they are pure warm executions (see WarmCopiers) and
+            # serve as the canary separating execution health from d2h health
+            copiers = WarmCopiers()
             try:
                 for leaf in ("latents", "audio_latents"):
                     v = state[leaf]
-                    pullers.warm(np.shape(v), v.dtype)
+                    copiers.warm(np.shape(v), v.dtype)
                     if not cache_dead:  # carried caches are f32, same shapes
-                        pullers.warm(np.shape(v), np.float32)
+                        copiers.warm(np.shape(v), np.float32)
             except Exception as e:  # noqa: BLE001
-                print(f"[e2e] warm-pull setup failed ({type(e).__name__}); "
-                      f"cold fallbacks only", flush=True)
-                pullers = None
+                print(f"[e2e] warm-copy setup failed ({type(e).__name__}); "
+                      f"continuing without canary", flush=True)
+                copiers = None
         t0 = time.time()
         _progress.last = t0  # first step's dt = real wall incl. compile
         state = pipe.denoise_state(state, max_steps=b - a)
@@ -805,31 +806,25 @@ def main():
             state["neg_cache_v"] = state["neg_cache_a"] = None
             print("[e2e] negative cache not carried (next step refreshes)",
                   flush=True)
-        if pullers is not None:
-            # warm-pull path: fetch every mutated leaf through the
-            # pre-compiled dump programs BEFORE any teardown (clear_caches
-            # would evict the warm executables), smallest first
+        if copiers is not None:
+            # canary BEFORE any teardown (clear_caches would evict the warm
+            # executables): does a warm execution still run post-sweep?
             try:
-                out = dict(load_state(state_path))
-                for k in sorted(
-                        (k for k in mutated if state.get(k) is not None),
-                        key=lambda k: int(np.prod(np.shape(state[k])))):
-                    t1 = time.time()
-                    out[k] = pullers.pull(state[k])
-                    print(f"[e2e] warm-pull {k}: "
-                          f"{out[k].nbytes / 2**20:.1f} MiB in "
-                          f"{time.time() - t1:.1f}s", flush=True)
-                for k, v in state.items():
-                    if k in ("settings", "step") or v is None:
-                        out[k] = v
-                save_state(out, state_path)
-                print(f"[e2e] state saved (warm-pull) -> {state_path}",
-                      flush=True)
-                return
+                t1 = time.time()
+                fresh_copy = copiers.copy(state["audio_latents"])
+                print(f"[e2e] post-sweep warm-exec canary OK "
+                      f"({time.time() - t1:.1f}s)", flush=True)
+                state["audio_latents"] = fresh_copy  # fetch a FRESH buffer
             except Exception as e:  # noqa: BLE001
-                print(f"[e2e] warm-pull fetch failed "
-                      f"({type(e).__name__}: {str(e)[:160]}); "
-                      f"falling back to cold transports", flush=True)
+                print(f"[e2e] post-sweep warm-exec canary FAILED "
+                      f"({type(e).__name__}: {str(e)[:160]})", flush=True)
+        if args.fetch_quiet_s > 0:
+            # let the relay's transfer quota replenish before the first d2h
+            # (measured: the uplink throttles after bulk staging volume and
+            # recovers over ~10-20 min; immediate retries keep failing)
+            print(f"[e2e] quiet period {args.fetch_quiet_s:.0f}s before "
+                  f"state fetch", flush=True)
+            time.sleep(args.fetch_quiet_s)
         # Settle the device before fetching. Drop EVERYTHING the fetch does
         # not need: the pipeline (host trees + jitted callables), then the
         # executable caches — at 176k tokens the streamed-pass programs are
@@ -879,17 +874,17 @@ def main():
             # slice and shrinks on error. Cross-backend and io_callback
             # transports remain as whole-leaf fallbacks.
             try:
-                out[k] = fetch_chunked(v, chunk_mib=4)
+                out[k] = fetch_chunked(v, chunk_mib=4,
+                                       attempts=args.fetch_attempts,
+                                       backoff_s=args.fetch_backoff_s)
             except Exception as e:  # noqa: BLE001
+                # NOT io_callback: host callbacks block forever on this
+                # tunnel (round-5 probe), turning a failed worker into a
+                # timed-out one
                 print(f"[e2e] sliced fetch of {k} failed "
                       f"({type(e).__name__}); trying cpu-backend",
                       flush=True)
-                try:
-                    out[k] = fetch_via_cpu_backend(v)
-                except Exception:  # noqa: BLE001
-                    print(f"[e2e] cpu-backend fetch of {k} failed; "
-                          f"trying io_callback", flush=True)
-                    out[k] = fetch_via_io_callback(v)
+                out[k] = fetch_via_cpu_backend(v)
             state[k] = v = None  # release the device buffer before the next
             print(f"[e2e] d2h {k}: {out[k].nbytes / 2**20:.1f} MiB "
                   f"in {time.time() - t1:.1f}s", flush=True)
@@ -1007,7 +1002,10 @@ def orchestrate(args):
             ("--attn_type", args.attn_type), ("--quant", args.quant),
             ("--seed", args.seed),
             ("--output", args.output),
-            ("--vae_encode_dtype", args.vae_encode_dtype))
+            ("--vae_encode_dtype", args.vae_encode_dtype),
+            ("--fetch_quiet_s", args.fetch_quiet_s),
+            ("--fetch_attempts", args.fetch_attempts),
+            ("--fetch_backoff_s", args.fetch_backoff_s))
         for f in (pair[0], str(pair[1]))]
     if args.params_cache:
         base += ["--params_cache", args.params_cache]
@@ -1053,6 +1051,9 @@ def orchestrate(args):
             time.sleep(60.0)
         raise SystemExit(f"{what} failed after 3 attempts")
 
+    # patient-fetch settings extend the per-worker kill timeout
+    worker_tmo = (5400.0 + args.fetch_quiet_s
+                  + 2 * args.fetch_attempts * args.fetch_backoff_s)
     for ci, (a, b) in enumerate(chunks):
         if ci:
             # transport-breather: the session tunnel throttles after bulk
@@ -1060,7 +1061,7 @@ def orchestrate(args):
             # give the quota a moment to replenish between workers
             time.sleep(120.0)
         run_retry(base + ["--worker_range", f"{a}:{b}"],
-                  f"worker [{a}, {b})")
+                  f"worker [{a}, {b})", timeout_s=worker_tmo)
     run_retry(base + ["--worker_finalize"], "finalize worker")
     with open(os.path.join(state_dir, "e2e_summary.json")) as f:
         summary = json.load(f)
