@@ -94,6 +94,13 @@ def main():
     attn = _opt("--attn", "fast", {"fast", "sage", "auto"})
     geom = _opt("--geom", "360p", {"360p", "720p"})
     fast_mode = "--fast" in sys.argv
+    # --phases deep,int8,vae: run only the named optional phases (each big
+    # remote compile can crash the tunnel's compiler AND poison the session
+    # for everything after — seen live at 720p — so risky phases can be
+    # isolated into separate processes and the artifacts merged)
+    phases = {"deep", "int8", "vae"}
+    if "--phases" in sys.argv:
+        phases = set(sys.argv[sys.argv.index("--phases") + 1].split(","))
     tpu_ok = False if small else _tpu_reachable()
     if not tpu_ok and not small:
         # A tiny-geometry CPU number would read as a regression; if a prior
@@ -276,7 +283,8 @@ def main():
     # throughput must match the shallow run's.
     extrap_rel_err = None
     deep_layers = None
-    if on_tpu and not small and not fast_mode:
+    deep_geom_tokens = None
+    if on_tpu and not small and not fast_mode and "deep" in phases:
         # 720p too (VERDICT r3 weak #3): 4x depth at 176k tokens is ~2.9 GB
         # of fp8 weights + scan-carried activations; wrapped so an OOM at
         # the big geometry degrades to a null field, not a sunk artifact
@@ -312,6 +320,7 @@ def main():
                   f"(rel err {extrap_rel_err:.3f})", file=sys.stderr, flush=True)
             # trust the deeper (more HBM-faithful) measurement for the headline
             achieved = max(achieved, tput_deep)
+            deep_geom_tokens = Lv
             break
           except Exception as e:  # noqa: BLE001 — report, keep the headline
             # e.g. the remote compiler 500s on the 8-layer 176k-token
@@ -322,12 +331,69 @@ def main():
                   file=sys.stderr, flush=True)
             params_d = out_d = None
 
+    if (extrap_rel_err is None and on_tpu and not small and not fast_mode
+            and "deep" in phases and geom == "720p"):
+        # the full-geometry deep programs crash the remote compiler (helper
+        # HTTP 500 on 4+-layer 176k-token programs, out/queue/bench_720p*.err)
+        # — validate depth-linearity at the largest geometry that DOES
+        # compile (half width: 49x45x40 = 88,200 tokens, same flagship layer
+        # width), shallow-vs-deep measured fresh at that geometry
+        try:
+            W_m = W // 2
+            Lv_m = F * H * W_m
+            visual_m = jax.random.normal(ks[0], (1, 36, F, 2 * H, 2 * W_m),
+                                         jnp.float32)
+            rope_m = make_rope_pack(cfg.video_dit, cfg.audio_dit, cfg.bridge,
+                                    (F, H, W_m), La, 24.0)
+
+            def tput_at(v_l, a_l, wdtype):
+                cfg_m, params_m = build(v_l, a_l, wdtype)
+                st = make_step(attn, cfg=cfg_m)
+                o = st(params_m, visual_m, audio, ctx, t, rope_m)
+                float(jnp.sum(o[0]).astype(jnp.float32))
+                ts = []
+                for _ in range(max(iters - 1, 2)):
+                    t0 = time.perf_counter()
+                    o = st(params_m, visual_m, audio, ctx, t, rope_m)
+                    float(jnp.sum(o[0]).astype(jnp.float32))
+                    ts.append(time.perf_counter() - t0)
+                fl = (dit_flops(Lv_m, dim, ffn, v_l, Lt)
+                      + dit_flops(La, adim, affn, a_l, Lt)
+                      + bridge_flops(Lv_m, La, dim, adim, min(v_l, a_l)))
+                return fl / float(np.median(ts))
+
+            print(f"[bench] deep-validation fallback at {Lv_m} tokens",
+                  file=sys.stderr, flush=True)
+            shallow_m = tput_at(v_layers, a_layers, jnp.bfloat16)
+            for mult in (4, 2):
+                try:
+                    deep_m = tput_at(mult * v_layers, mult * a_layers,
+                                     jnp.float8_e4m3fn)
+                    extrap_rel_err = abs(deep_m - shallow_m) / shallow_m
+                    deep_layers = mult * v_layers
+                    deep_geom_tokens = Lv_m
+                    print(f"[bench] deep fallback {deep_layers}-layer @ "
+                          f"{Lv_m} tokens: {deep_m/1e12:.1f} vs shallow "
+                          f"{shallow_m/1e12:.1f} TF/s (rel err "
+                          f"{extrap_rel_err:.3f})", file=sys.stderr,
+                          flush=True)
+                    break
+                except Exception as e:  # noqa: BLE001
+                    print(f"[bench] deep fallback {mult}x failed "
+                          f"({type(e).__name__}: {str(e)[:120]})",
+                          file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] deep fallback phase failed "
+                  f"({type(e).__name__}: {str(e)[:160]})",
+                  file=sys.stderr, flush=True)
+
     # --- int8 serving mode: w8a8 projections (+ sage attention) ------------
     # the opt-in lossy path (--quantize int8 --attn_type sage); measured
     # against the same proxy to quantify the serving speedup and its error.
     int8_pass_s = int8_speedup = int8_rel_err = None
+    int8_proxy_layers = None
     out_q = None
-    if on_tpu and not small and not fast_mode:
+    if on_tpu and not small and not fast_mode and "int8" in phases:
         # OPTIONAL phase: never let a lossy-mode failure sink the headline
         # artifact (seen live: pre-bf16-rope sage OOM at the 720p geometry)
         try:
@@ -349,6 +415,7 @@ def main():
                 qtimes.append(time.perf_counter() - t0)
             int8_pass_s = float(np.median(qtimes))
             int8_speedup = pass_s / int8_pass_s
+            int8_proxy_layers = v_layers
             print(f"[bench] int8 serving pass: {int8_pass_s:.3f}s "
                   f"({int8_speedup:.2f}x vs headline, rel err {int8_rel_err:.1e})",
                   file=sys.stderr, flush=True)
@@ -359,9 +426,56 @@ def main():
             int8_pass_s = int8_speedup = int8_rel_err = None
             params_q = step_q = out_q = None
 
+    if (int8_pass_s is None and on_tpu and not small and not fast_mode
+            and "int8" in phases and geom == "720p"):
+        # full-geometry int8+sage crashes the remote compiler at this layer
+        # count — measure the serving speedup at ONE flagship-width layer
+        # against its own bf16 baseline at the full 176k tokens instead
+        try:
+            from dualforce_tpu import nn as _nn
+
+            cfg1, params1 = build(1, 1, jnp.bfloat16)
+            st1 = make_step(attn, cfg=cfg1)
+            print("[bench] int8 fallback: 1-layer baseline compile",
+                  file=sys.stderr, flush=True)
+            o1 = st1(params1, visual, audio, ctx, t, rope_pack)
+            float(jnp.sum(o1[0]).astype(jnp.float32))
+            b_ts = []
+            for _ in range(max(iters - 1, 2)):
+                t0 = time.perf_counter()
+                o1 = st1(params1, visual, audio, ctx, t, rope_pack)
+                float(jnp.sum(o1[0]).astype(jnp.float32))
+                b_ts.append(time.perf_counter() - t0)
+            params1q = {k: _nn.quantize_tree_int8(v)
+                        for k, v in params1.items()}
+            stq = make_step("sage", cfg=cfg1)
+            print("[bench] int8 fallback: 1-layer w8a8+sage compile",
+                  file=sys.stderr, flush=True)
+            oq = stq(params1q, visual, audio, ctx, t, rope_pack)
+            num = float(jnp.linalg.norm((oq[0] - o1[0]).astype(jnp.float32)))
+            den = float(jnp.linalg.norm(o1[0].astype(jnp.float32))) + 1e-9
+            int8_rel_err = num / den
+            q_ts = []
+            for _ in range(max(iters - 1, 2)):
+                t0 = time.perf_counter()
+                oq = stq(params1q, visual, audio, ctx, t, rope_pack)
+                float(jnp.sum(oq[0]).astype(jnp.float32))
+                q_ts.append(time.perf_counter() - t0)
+            int8_pass_s = float(np.median(q_ts))
+            int8_speedup = float(np.median(b_ts)) / int8_pass_s
+            int8_proxy_layers = 1
+            print(f"[bench] int8 fallback 1-layer: {int8_pass_s:.3f}s "
+                  f"({int8_speedup:.2f}x vs 1-layer bf16, rel err "
+                  f"{int8_rel_err:.1e})", file=sys.stderr, flush=True)
+            params1 = params1q = o1 = oq = None
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] int8 fallback failed ({type(e).__name__}: "
+                  f"{str(e)[:160]})", file=sys.stderr, flush=True)
+            int8_pass_s = int8_speedup = int8_rel_err = None
+
     # --- measured VAE decode (the second hot spot) -------------------------
     vae_decode_s = dac_decode_s = None
-    if on_tpu and not small and not fast_mode:
+    if on_tpu and not small and not fast_mode and "vae" in phases:
       # wrapped: a crashed remote compile earlier in the run leaves the
       # session returning RESOURCE_EXHAUSTED for everything after (seen
       # live at 720p) — keep the headline artifact
@@ -465,8 +579,10 @@ def main():
             "compile_s": round(compile_s, 1),
             "proxy_layers": v_layers,
             "deep_proxy_layers": deep_layers,
+            "deep_geom_tokens": deep_geom_tokens,
             "extrapolation_rel_err": (round(extrap_rel_err, 4)
                                       if extrap_rel_err is not None else None),
+            "int8_proxy_layers": int8_proxy_layers,
             "int8_serving_pass_s": (round(int8_pass_s, 4)
                                     if int8_pass_s is not None else None),
             "int8_serving_speedup": (round(int8_speedup, 3)
@@ -489,6 +605,36 @@ def main():
                         "(component offload, README.md:118-123)",
         },
     }
+    # every remaining null carries its own reason — no unexplained nulls
+    reasons = {
+        "deep_skipped": "deep phase not in --phases for this process",
+        "int8_skipped": "int8 phase not in --phases for this process",
+        "vae_skipped": "vae phase not in --phases for this process",
+        "deep_failed": "full- AND half-width deep programs failed to "
+                       "compile on the remote helper (HTTP 500 / "
+                       "RESOURCE_EXHAUSTED)",
+        "int8_failed": "int8+sage failed to compile at this geometry even "
+                       "at 1 layer",
+        "vae_failed": "VAE decode phase raised on this run (see stderr)",
+        "cpu": "phase is TPU-only (CPU/--small/--fast run)",
+    }
+    skipped_base = (None if on_tpu and not small and not fast_mode else "cpu")
+    nulls = {}
+    if extrap_rel_err is None:
+        nulls["extrapolation_rel_err"] = (
+            skipped_base or ("deep_skipped" if "deep" not in phases
+                             else "deep_failed"))
+    if int8_pass_s is None:
+        nulls["int8_serving_pass_s"] = (
+            skipped_base or ("int8_skipped" if "int8" not in phases
+                             else "int8_failed"))
+    if vae_decode_s is None:
+        nulls["vae_decode_s"] = (
+            skipped_base or ("vae_skipped" if "vae" not in phases
+                             else "vae_failed"))
+    if nulls:
+        result["detail"]["nulls_explained"] = {
+            k: reasons[v] for k, v in nulls.items()}
     print(json.dumps(result))
 
 

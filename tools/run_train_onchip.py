@@ -75,7 +75,7 @@ def make_fixtures(workdir: str, *, height: int, width: int, num_frames: int,
 
 def run_train(ckpt: str, meta_path: str, save_dir: str, *, height: int,
               width: int, num_frames: int, max_steps: int,
-              save_interval: int, log_path: str) -> float:
+              save_interval: int, log_path: str, extra_set=()) -> float:
     argv = [sys.executable, os.path.join(_REPO, "scripts", "train.py"),
             os.path.join(_REPO, "configs", "training", "lora_tiny.py"),
             "--set",
@@ -86,7 +86,8 @@ def run_train(ckpt: str, meta_path: str, save_dir: str, *, height: int,
             f"trainer.max_steps={max_steps}",
             f"trainer.save_interval={save_interval}",
             "trainer.log_interval=1", "trainer.warmup_steps=2",
-            f"trainer.save_dir={save_dir}", "trainer.logger=jsonl"]
+            f"trainer.save_dir={save_dir}", "trainer.logger=jsonl",
+            *extra_set]
     t0 = time.time()
     with open(log_path, "a") as lf:
         rc = subprocess.run(argv, stdout=lf, stderr=subprocess.STDOUT).returncode
@@ -115,6 +116,13 @@ def main():
     ap.add_argument("--num_frames", type=int, default=49)
     ap.add_argument("--clips", type=int, default=3)
     ap.add_argument("--artifact", default="TRAIN_RUN_r04.json")
+    ap.add_argument("--set", dest="extra_set", action="append", default=[],
+                    help="extra config overrides forwarded to train.py "
+                         "(e.g. trainer.lr=1e-3 trainer.lora_rank=16)")
+    ap.add_argument("--expect_learning", type=float, default=0.0,
+                    help="assert the trailing-10-step mean loss is at most "
+                         "this fraction of the leading-10-step mean "
+                         "(e.g. 0.8 = a visible drop); 0 disables")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -146,7 +154,7 @@ def main():
     wall1 = run_train(ckpt, meta_path, save_dir, height=args.height,
                       width=args.width, num_frames=args.num_frames,
                       max_steps=args.steps, save_interval=half,
-                      log_path=log_path)
+                      log_path=log_path, extra_set=args.extra_set)
     m1 = read_metrics(save_dir)
     assert m1 and m1[-1]["step"] == args.steps, m1[-1:]
     saved = sorted(d for d in os.listdir(save_dir) if d.startswith("step-"))
@@ -158,7 +166,7 @@ def main():
     wall2 = run_train(ckpt, meta_path, save_dir, height=args.height,
                       width=args.width, num_frames=args.num_frames,
                       max_steps=total, save_interval=half,
-                      log_path=log_path)
+                      log_path=log_path, extra_set=args.extra_set)
     m2 = read_metrics(save_dir)
     resumed_from = m2[len(m1)]["step"] - 1
     assert resumed_from == args.steps, (
@@ -183,6 +191,14 @@ def main():
                    "loss_first": round(m1[0]["loss"], 4),
                    "loss_last": round(m1[-1]["loss"], 4),
                    "checkpoints": saved},
+        "overrides": args.extra_set,
+        "loss_curve": [round(r["loss"], 4) for r in m2],
+        "learning": {
+            "lead10_mean": round(float(np.mean([r["loss"]
+                                                for r in m2[:10]])), 4),
+            "trail10_mean": round(float(np.mean([r["loss"]
+                                                 for r in m2[-10:]])), 4),
+        },
         "resume": {"restored_step": resumed_from,
                    "extra_steps": args.resume_steps,
                    "wall_s": round(wall2, 1),
@@ -191,6 +207,13 @@ def main():
         "flagship_width_reference": "tools/bench_train_step.py artifact "
                                     "(BENCH_r04_kernels)",
     }
+    lead = artifact["learning"]["lead10_mean"]
+    trail = artifact["learning"]["trail10_mean"]
+    if args.expect_learning > 0:
+        assert trail <= lead * args.expect_learning, (
+            f"no visible learning: loss {lead} -> {trail} "
+            f"(needed <= {lead * args.expect_learning:.4f})")
+        artifact["learning"]["passed_threshold"] = args.expect_learning
     with open(args.artifact, "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps(artifact))
