@@ -359,6 +359,89 @@ class WarmCopiers:
         return out
 
 
+_SLICE_ELEMS = (262144, 16384, 256)  # 1 MiB / 64 KiB / 1 KiB of f32
+
+
+class WarmSlicers:
+    """Pre-compiled dynamic-slice fetchers + a scalar probe, warmed at
+    worker start. Post-sweep the direct whole-leaf (and 1-4 MiB sliced) d2h
+    fails RESOURCE_EXHAUSTED at 720p even after 20+ min of patience, but
+    warm EXECUTIONS still run (canary) — so the open question is whether a
+    small-enough result of a warm execution can still cross. The slicer is
+    one warm program per (shape, chunk): x -> dynamic_slice(flat(x), (i,),
+    (chunk,)) with i a traced arg (no recompile per offset, start clamped
+    in-bounds by dynamic_slice semantics); the scalar probe (sum) tests the
+    smallest possible d2h first."""
+
+    def __init__(self, log=print):
+        self._slicers = {}
+        self._sums = {}
+        self._log = log
+
+    @staticmethod
+    def _key(shape, dtype):
+        return (tuple(shape), str(np.dtype(dtype)))
+
+    def warm(self, shape, dtype):
+        import jax
+        import jax.numpy as jnp
+
+        key = self._key(shape, dtype)
+        if key in self._slicers:
+            return
+        n = int(np.prod(shape)) if shape else 1
+        t0 = time.time()
+
+        @jax.jit
+        def _sum(x):
+            return jnp.sum(x.astype(jnp.float32))
+
+        _sum(jnp.zeros(shape, dtype)).block_until_ready()
+        self._sums[key] = _sum
+        fns = {}
+        for ch in _SLICE_ELEMS:
+            if ch > n:
+                continue
+
+            def _slice(x, i, ch=ch):
+                import jax.lax as lax
+                return lax.dynamic_slice(jnp.reshape(x, (n,)), (i,), (ch,))
+
+            fn = jax.jit(_slice)
+            fn(jnp.zeros(shape, dtype), 0).block_until_ready()
+            fns[ch] = fn
+        self._slicers[key] = fns
+        self._log(f"[e2e] warm slicers {key[1]}{list(shape)} ready "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+
+    def probe_scalar(self, v):
+        """Smallest possible post-sweep d2h: warm-execute sum, fetch the
+        scalar. Returns seconds taken (raises on failure)."""
+        t0 = time.time()
+        s = self._sums[self._key(np.shape(v), v.dtype)](v)
+        float(np.asarray(s))
+        return time.time() - t0
+
+    def fetch(self, v, chunk_elems: int, log=print):
+        """Assemble the whole leaf from warm-sliced chunk_elems fetches."""
+        key = self._key(np.shape(v), v.dtype)
+        fn = self._slicers[key].get(chunk_elems)
+        n = int(np.prod(np.shape(v))) if np.shape(v) else 1
+        if fn is None:  # leaf smaller than the chunk: direct tiny fetch
+            return np.asarray(v)
+        out = np.empty((n,), v.dtype)
+        t0 = time.time()
+        for off in range(0, n, chunk_elems):
+            i = min(off, n - chunk_elems)
+            part = np.asarray(fn(v, i))
+            out[i:i + chunk_elems] = part
+            if off == 0:
+                log(f"[e2e]   warm-slice first chunk "
+                    f"({chunk_elems * out.itemsize // 1024} KiB) in "
+                    f"{time.time() - t0:.1f}s", flush=True)
+        return out.reshape(np.shape(v))
+
+
 def fetch_via_io_callback(v, log=print):
     """Last-resort d2h: pull the array out through a host callback inside a
     jitted program. Callback argument transport rides the EXECUTION
@@ -600,6 +683,11 @@ def main():
                     help="jax persistent compilation cache dir (default: "
                          "<state_dir>/compile_cache) — chunk workers after "
                          "the first then skip the ~200 s 720p compile")
+    ap.add_argument("--chunk_refresh_multiple", type=int, default=1,
+                    help="with --chunk_align_refresh: split at every Nth "
+                         "refresh boundary instead of every one (bigger "
+                         "chunks, fewer post-sweep fetch gauntlets; still "
+                         "never carries the negative cache)")
     ap.add_argument("--fetch_quiet_s", type=float, default=0.0,
                     help="sleep this long after the sweep before the first "
                          "post-sweep d2h (the relay's transfer quota "
@@ -773,22 +861,24 @@ def main():
         k_int = args.cfg_cache_interval
         cache_dead = (b >= args.steps or b == _boundary_step(args)
                       or k_int <= 1 or b % k_int == 0)
-        copiers = None
+        copiers = slicers = None
         if b > a and not fresh:
-            # warm per-shape copy programs NOW, while the session is fresh:
-            # post-sweep they are pure warm executions (see WarmCopiers) and
-            # serve as the canary separating execution health from d2h health
-            copiers = WarmCopiers()
+            # warm per-shape copy/slice programs NOW, while the session is
+            # fresh: post-sweep they are pure warm executions (WarmCopiers /
+            # WarmSlicers docstrings)
+            copiers, slicers = WarmCopiers(), WarmSlicers()
             try:
                 for leaf in ("latents", "audio_latents"):
                     v = state[leaf]
                     copiers.warm(np.shape(v), v.dtype)
+                    slicers.warm(np.shape(v), v.dtype)
                     if not cache_dead:  # carried caches are f32, same shapes
                         copiers.warm(np.shape(v), np.float32)
+                        slicers.warm(np.shape(v), np.float32)
             except Exception as e:  # noqa: BLE001
-                print(f"[e2e] warm-copy setup failed ({type(e).__name__}); "
-                      f"continuing without canary", flush=True)
-                copiers = None
+                print(f"[e2e] warm-fetch setup failed ({type(e).__name__}); "
+                      f"cold transports only", flush=True)
+                copiers = slicers = None
         t0 = time.time()
         _progress.last = t0  # first step's dt = real wall incl. compile
         state = pipe.denoise_state(state, max_steps=b - a)
@@ -818,6 +908,50 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(f"[e2e] post-sweep warm-exec canary FAILED "
                       f"({type(e).__name__}: {str(e)[:160]})", flush=True)
+        if slicers is not None:
+            # smallest possible d2h first: if even a warm scalar can't
+            # cross, no slice size will
+            try:
+                dt = slicers.probe_scalar(state["latents"])
+                print(f"[e2e] post-sweep scalar d2h OK ({dt:.1f}s)",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"[e2e] post-sweep scalar d2h FAILED "
+                      f"({type(e).__name__}: {str(e)[:160]})", flush=True)
+                slicers = None
+        if slicers is not None:
+            try:
+                out = dict(load_state(state_path))
+                for k in sorted(
+                        (k for k in mutated if state.get(k) is not None),
+                        key=lambda k: int(np.prod(np.shape(state[k])))):
+                    t1 = time.time()
+                    got = None
+                    for ch in _SLICE_ELEMS:
+                        try:
+                            got = slicers.fetch(state[k], ch)
+                            break
+                        except Exception as e:  # noqa: BLE001
+                            print(f"[e2e] warm-slice {k} at {ch} elems "
+                                  f"failed ({type(e).__name__})", flush=True)
+                    if got is None:
+                        raise RuntimeError(f"all warm-slice sizes failed "
+                                           f"for {k}")
+                    out[k] = got
+                    print(f"[e2e] warm-slice {k}: "
+                          f"{got.nbytes / 2**20:.1f} MiB in "
+                          f"{time.time() - t1:.1f}s", flush=True)
+                for k, v in state.items():
+                    if k in ("settings", "step") or v is None:
+                        out[k] = v
+                save_state(out, state_path)
+                print(f"[e2e] state saved (warm-slice) -> {state_path}",
+                      flush=True)
+                return
+            except Exception as e:  # noqa: BLE001
+                print(f"[e2e] warm-slice fetch failed "
+                      f"({type(e).__name__}: {str(e)[:160]}); falling back "
+                      f"to cold transports", flush=True)
         if args.fetch_quiet_s > 0:
             # let the relay's transfer quota replenish before the first d2h
             # (measured: the uplink throttles after bulk staging volume and
@@ -948,7 +1082,8 @@ def orchestrate(args):
     boundary = build_plan(sched, cfg.boundary_ratio).boundary_step
     counts = pass_schedule(args.steps, args.cfg_cache_interval, boundary)
     if args.chunk_align_refresh:
-        k_int = max(1, args.cfg_cache_interval)
+        k_int = max(1, args.cfg_cache_interval) * max(
+            1, args.chunk_refresh_multiple)
         bounds = sorted({s for s in range(1, args.steps)
                          if s % k_int == 0 or s == boundary}
                         | {args.steps})

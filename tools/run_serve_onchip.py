@@ -114,11 +114,13 @@ def main():
             raise SystemExit(f"make_tiny_checkpoint failed rc={rc}")
 
     port = _free_port()
+    w, h = args.size.split("x")
     argv = [sys.executable, os.path.join(_REPO, "scripts", "serve.py"),
             "--ckpt_path", ckpt, "--host", "127.0.0.1",
             "--port", str(port),
             "--out_dir", os.path.join(args.workdir, "outputs"),
             "--max_batch", "2",
+            "--warmup", f"{w}x{h}x{args.frames}x{args.steps}",
             "--compile_cache", os.path.join(args.workdir, "compile_cache")]
     print(f"[serve-run] launching server on :{port}", flush=True)
     with open(log_path, "a") as lf:
