@@ -30,7 +30,7 @@ run bench_720p_vae  2400 python bench.py --geom 720p --phases vae
 run bench_720p_deep 3600 python bench.py --geom 720p --phases deep,int8
 
 # VERDICT r4 #7: flash-attention backward block sweep
-run attn_bwd 3600 python tools/bench_attn_bwd.py
+run attn_bwd 3600 python tools/bench_attn_bwd.py --sweep --artifact ATTN_BWD_r05.json
 
 # headline refresh (all phases; 360p compiles fine)
 run bench_360p 3600 python bench.py
