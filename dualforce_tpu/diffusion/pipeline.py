@@ -90,32 +90,42 @@ class MOVAPipeline:
         what fits flagship 720p inference on one 16 GB v5e: weights alone
         (14 GB fp8) leave no room for 176k-token activations.
 
-        quantize: "none" or "int8" — int8 pre-quantizes the DiT/bridge
-        projection kernels (w8a8 on the MXU, per-out-channel weight scales +
-        dynamic per-token activation scales; nn.quantize_tree_int8). Lossy
-        and inference-only, like attn_impl="sage" — the two compose; VAEs,
-        text encoder, norms, modulation and heads stay full precision."""
-        if quantize not in ("none", "int8"):
+        quantize: "none", "int8" or "int4". int8 pre-quantizes the
+        DiT/bridge projection kernels (w8a8 on the MXU, per-out-channel
+        weight scales + dynamic per-token activation scales;
+        nn.quantize_tree_int8) — a compute win. int4 packs the same kernels
+        to 0.5 byte/param with grouped scales and dequantizes at use
+        (nn.quantize_tree_int4) — an HBM win that makes a 14.3B video
+        tower fully resident on one 16 GB v5e (offload="component" then
+        bulk-stages towers instead of group-streaming layers). Lossy and
+        inference-only, like attn_impl="sage" — they compose; VAEs, text
+        encoder, norms, modulation and heads stay full precision."""
+        if quantize not in ("none", "int8", "int4"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
-        if quantize == "int8":
+        if quantize in ("int8", "int4"):
             from dualforce_tpu import nn as _nn
 
+            # int8: w8a8 MXU serving mode (compute win). int4: packed
+            # weights-only storage (HBM win — a 14.3B video tower fits
+            # fully resident in ~7.2 GB; see nn.quantize_linear_int4)
+            qfn = (_nn.quantize_tree_int8 if quantize == "int8"
+                   else _nn.quantize_tree_int4)
             towers = {k for k in ("video_dit", "video_dit_2", "audio_dit",
                                   "bridge") if params.get(k) is not None}
             if offload != "none":
                 # Quantize one tower at a time and pull it straight to host:
-                # quantizing everything first would hold every expert's int8
-                # kernels in HBM simultaneously — the exact peak component
-                # offload exists to avoid.
+                # quantizing everything first would hold every expert's
+                # quantized kernels in HBM simultaneously — the exact peak
+                # component offload exists to avoid.
                 out = dict(params)
                 for k in towers:
-                    q = _nn.quantize_tree_int8(params[k])
+                    q = qfn(params[k])
                     out[k] = jax.tree.map(
                         lambda x: np.asarray(jax.device_get(x)), q)
                     del q  # frees this tower's device buffers before the next
                 params = out
             else:
-                params = {k: (_nn.quantize_tree_int8(v) if k in towers else v)
+                params = {k: (qfn(v) if k in towers else v)
                           for k, v in params.items()}
         self.quantize = quantize
         self.cfg = cfg

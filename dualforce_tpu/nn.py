@@ -92,6 +92,87 @@ def quantize_linear_int8(p):
 QUANT_INT8_SCOPES = ("self_attn", "cross_attn", "ffn", "inner")
 
 
+INT4_GROUP = 128  # input-dim group size for int4 scales (all MOVA projection
+                  # in-dims — 5120/13824/1536/8960/4096 — divide it)
+
+
+def quantize_linear_int4(p, group: int = INT4_GROUP):
+    """Pre-quantize a linear's kernel to packed int4 with per-(input-group,
+    output-channel) symmetric scales — weights-ONLY quantization: the
+    kernel dequantizes to the activation dtype at use and the matmul runs
+    bf16 on the MXU (unlike `_linear_int8`'s w8a8). Purpose is HBM, not
+    FLOPs: 0.5 byte/param makes a 14.3B-param flagship video tower ~7.2 GB
+    — small enough to be fully HBM-RESIDENT on one 16 GB v5e, replacing
+    the reference's group-offload streaming (README 12 GB-VRAM row) with
+    zero per-pass host traffic. Storage: kernel_q4 [in/2, out] uint8 (two
+    nibbles along the input dim), kernel_scale4 [in/group, out] f32.
+
+    Works on single [in, out] kernels and scan-stacked [L, in, out] kernels
+    (per-layer slices quantized one at a time, like quantize_linear_int8)."""
+    def one(w):
+        w = w.astype(jnp.float32)
+        din, dout = w.shape
+        g = group if din % group == 0 else (din if din % 2 == 0 else 1)
+        if din % 2:
+            raise ValueError(f"int4 pack needs even in_dim, got {din}")
+        wg = w.reshape(din // g, g, dout)
+        scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=1) / 7.0, 1e-12)
+        q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+        q = (q.reshape(din // 2, 2, dout) + 8.0).astype(jnp.uint8)
+        packed = (q[:, 0, :] << 4) | q[:, 1, :]
+        return packed, scale.astype(jnp.float32)
+
+    w = p["kernel"]
+    if w.ndim >= 3:
+        qs = [one(w[i]) for i in range(w.shape[0])]
+        q = jnp.stack([a for a, _ in qs])
+        scale = jnp.stack([s for _, s in qs])
+    else:
+        q, scale = one(w)
+    out = {"kernel_q4": q, "kernel_scale4": scale}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def quantize_tree_int4(tree, scopes=QUANT_INT8_SCOPES, group: int = INT4_GROUP):
+    """int4 counterpart of quantize_tree_int8: same scopes (block attention
+    q/k/v/o and FFN kernels), same stacked-kernel handling."""
+    def walk(node, in_scope):
+        if isinstance(node, dict):
+            if in_scope and "kernel" in node and node["kernel"].ndim >= 2:
+                return quantize_linear_int4(node, group)
+            return {k: walk(v, in_scope or k in scopes)
+                    for k, v in node.items()}
+        return node
+
+    return walk(tree, False)
+
+
+def dequantize_int4(q4, scale, dtype):
+    """[in/2, out] packed uint8 + [in/groups, out] scales -> [in, out]."""
+    hi = (q4 >> 4).astype(jnp.int8) - 8
+    lo = (q4 & 0xF).astype(jnp.int8) - 8
+    din = q4.shape[-2] * 2
+    w = jnp.stack([hi, lo], axis=-2).reshape(*q4.shape[:-2], din, q4.shape[-1])
+    ng = scale.shape[-2]
+    wg = w.reshape(*w.shape[:-2], ng, din // ng, w.shape[-1])
+    wg = wg.astype(dtype) * scale[..., :, None, :].astype(dtype)
+    return wg.reshape(*w.shape[:-2], din, w.shape[-1])
+
+
+def _linear_int4(p, x):
+    """Weights-only int4 matmul: dequantize the packed kernel to the
+    activation dtype (one VPU pass over 0.5 byte/param of HBM) and run the
+    bf16 MXU matmul. Dequant cost is amortized over the token dim like the
+    fp8 upcast in `_weight`."""
+    w = dequantize_int4(p["kernel_q4"], p["kernel_scale4"], x.dtype)
+    y = x @ w
+    if "bias" in p:
+        y = y + _weight(p, "bias", x).astype(x.dtype)
+    return y
+
+
 def quantize_tree_int8(tree, scopes=QUANT_INT8_SCOPES):
     """Quantize the per-token projection linears of a DiT/bridge param tree
     to int8 (serving mode). Only linears under `scopes` (block attention
@@ -136,6 +217,8 @@ def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32, bias: bool = 
 
 
 def linear(p, x: jnp.ndarray) -> jnp.ndarray:
+    if "kernel_q4" in p:
+        return _linear_int4(p, x)
     if "kernel_q" in p:
         return _linear_int8(p, x)
     y = x @ _weight(p, "kernel", x)

@@ -232,6 +232,49 @@ def quantize_params_host(sub, log=print):
     return walk(sub, False)
 
 
+def quantize_params_host_int4(sub, group: int = 128, log=print):
+    """Numpy counterpart of nn.quantize_tree_int4 (same scopes, same
+    grouped-scale packing) run on HOST. int4 packs the flagship video
+    tower to ~7.2 GB so it stages fully HBM-RESIDENT under
+    offload='component' — no layerwise streaming, which round-5 transport
+    experiments showed kills the tunneled client's d2h pool after a single
+    sweep at ANY geometry (TRANSPORT_720P.md)."""
+    from dualforce_tpu.nn import QUANT_INT8_SCOPES
+
+    def one(w):
+        w32 = np.asarray(w).astype(np.float32)
+        din, dout = w32.shape
+        g = group if din % group == 0 else (din if din % 2 == 0 else 1)
+        if din % 2:
+            raise ValueError(f"int4 pack needs even in_dim, got {din}")
+        wg = w32.reshape(din // g, g, dout)
+        scale = np.maximum(np.abs(wg).max(axis=1) / 7.0, 1e-12)
+        q = np.clip(np.round(wg / scale[:, None, :]), -7, 7)
+        q = (q.reshape(din // 2, 2, dout) + 8.0).astype(np.uint8)
+        packed = (q[:, 0, :] << 4) | q[:, 1, :]
+        return packed, scale.astype(np.float32)
+
+    def walk(node, in_scope):
+        if isinstance(node, dict):
+            if in_scope and "kernel" in node and np.ndim(node["kernel"]) >= 2:
+                w = node["kernel"]
+                if np.ndim(w) >= 3:  # scan-stacked [L, in, out]: slice-wise
+                    qs = [one(w[i]) for i in range(w.shape[0])]
+                    q = np.stack([a for a, _ in qs])
+                    s = np.stack([b for _, b in qs])
+                else:
+                    q, s = one(w)
+                out = {"kernel_q4": q, "kernel_scale4": s}
+                if "bias" in node:
+                    out["bias"] = np.asarray(node["bias"])
+                return out
+            return {k: walk(v, in_scope or k in QUANT_INT8_SCOPES)
+                    for k, v in node.items()}
+        return node
+
+    return walk(sub, False)
+
+
 def save_tree_cache(params, cache_dir: str, log=print):
     """Path-keyed host-tree cache. Unlike save_params_cache (leaf-indexed
     against jax.eval_shape of the bf16 init), this stores the tree SHAPE
@@ -711,11 +754,22 @@ def main():
     ap.add_argument("--group_size", type=int, default=4)
     ap.add_argument("--attn_type", type=str, default="auto")
     ap.add_argument("--quant", type=str, default="none",
-                    choices=["none", "int8"],
+                    choices=["none", "int8", "int4"],
                     help="int8 pre-quantizes DiT/bridge projections on HOST "
                          "(w8a8 serving mode, composes with --attn_type "
-                         "sage); cached next to --params_cache as "
-                         "<params_cache>_int8")
+                         "sage); int4 packs the VIDEO TOWER projections to "
+                         "0.5 byte/param (weights-only, grouped scales) so "
+                         "a 14.3B expert stages fully HBM-resident under "
+                         "--offload component; both cached next to "
+                         "--params_cache as <params_cache>_<quant>")
+    ap.add_argument("--offload", type=str, default="group",
+                    choices=["group", "component", "none"],
+                    help="pipeline weight residency: 'group' = layerwise "
+                         "streamed (reference 12 GB-VRAM mode; chunked "
+                         "workers), 'component' = whole-module bulk "
+                         "staging (use with --quant int4 so the active "
+                         "tower fits; single process, --chunk_passes 0), "
+                         "'none' = everything resident")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--output", type=str, default="out/720p/e2e.mp4")
     ap.add_argument("--params_cache", type=str, default=None,
@@ -771,6 +825,16 @@ def main():
                     help="chunked mode: reuse an existing e2e_state.npz for "
                          "the same recipe (skips prepare and finished steps) "
                          "instead of starting over")
+    ap.add_argument("--fetch_every_step", action="store_true",
+                    help="workers fetch+save the mutated state after EVERY "
+                         "scheduler step instead of once per chunk: the "
+                         "post-sweep d2h pool dies as staged volume "
+                         "accumulates (round-5: hard-dead after 4 passes "
+                         "at 360p, while the ~6 GiB prepare fetch works), "
+                         "so fetching after each step's 1-2 passes keeps "
+                         "progress monotonic — a dead pool costs ONE step, "
+                         "and the CFG cache is carried so resume stays "
+                         "bit-identical")
     ap.add_argument("--worker_range", type=str, default=None,
                     help=argparse.SUPPRESS)  # internal: chunk worker "a:b"
     ap.add_argument("--worker_finalize", action="store_true",
@@ -832,19 +896,27 @@ def main():
         if args.params_cache:
             save_params_cache(params, args.params_cache)
     timings["synthesize_params_s"] = round(time.time() - t0, 1)
-    if args.quant == "int8":
+    if args.quant != "none":
         t0 = time.time()
-        qdir = (args.params_cache + "_int8") if args.params_cache else None
-        qp = load_tree_cache(qdir) if qdir else None
+        # int8: all four towers (w8a8 compute win). int4: the two video
+        # experts only — the point is fitting a 14.3B tower in HBM; audio +
+        # bridge (~4 GB fp8) stay resident at full fidelity
+        mods = (_QUANT_TOWERS if args.quant == "int8"
+                else ("video_dit", "video_dit_2"))
+        qfn = (quantize_params_host if args.quant == "int8"
+               else quantize_params_host_int4)
+        qdir = (f"{args.params_cache}_{args.quant}"
+                if args.params_cache else None)
+        qp = load_tree_cache(qdir, mods=mods) if qdir else None
         if qp is None:
-            qp = {m: quantize_params_host(params[m]) for m in _QUANT_TOWERS}
+            qp = {m: qfn(params[m]) for m in mods}
             if qdir:
                 save_tree_cache(qp, qdir)
-                qp = load_tree_cache(qdir)  # swap to mmap-backed leaves
+                qp = load_tree_cache(qdir, mods=mods)  # mmap-backed leaves
         params.update(qp)
-        timings["quantize_int8_s"] = round(time.time() - t0, 1)
-        print(f"[e2e] int8 tower kernels ready "
-              f"({timings['quantize_int8_s']}s)")
+        timings[f"quantize_{args.quant}_s"] = round(time.time() - t0, 1)
+        print(f"[e2e] {args.quant} tower kernels ready "
+              f"({timings[f'quantize_{args.quant}_s']}s)")
     host_gb = sum(l.size * l.dtype.itemsize
                   for l in jax.tree.leaves(params)) / 2**30
     print(f"[e2e] host-resident params: {host_gb:.1f} GiB "
@@ -852,7 +924,7 @@ def main():
 
     tok = build_tokenizer(cfg.text_encoder.vocab_size)
     pipe = MOVAPipeline(cfg, params, tokenizer=tok,
-                        attn_impl=args.attn_type, offload="group",
+                        attn_impl=args.attn_type, offload=args.offload,
                         offload_group_size=args.group_size,
                         offload_resident_small=args.resident_small,
                         offload_resident_video_groups=args.resident_groups,
@@ -899,14 +971,18 @@ def main():
             "geometry": f"{args.width}x{args.height}x{args.num_frames}",
             "steps": args.steps,
             "cfg_cache_interval": args.cfg_cache_interval,
-            "offload": f"group:{args.group_size}"
-                       + (":resident_small" if args.resident_small else "")
-                       + (f":resident_groups={args.resident_groups}"
-                          if args.resident_groups else ""),
+            "offload": (f"group:{args.group_size}"
+                        + (":resident_small" if args.resident_small else "")
+                        + (f":resident_groups={args.resident_groups}"
+                           if args.resident_groups else "")
+                        if args.offload == "group" else args.offload),
             "attn": args.attn_type,
             "quant": args.quant,
-            "weight_storage": "fp8(e4m3) kernels + bf16 rest" if not args.dry
-                              else "bf16",
+            "weight_storage": (
+                "bf16" if args.dry else
+                "int4(g128) video-tower projections + fp8(e4m3)/bf16 rest"
+                if args.quant == "int4"
+                else "fp8(e4m3) kernels + bf16 rest"),
             "host_params_gib": round(host_gb, 1),
             "video_shape": list(np.asarray(result.video).shape),
             "audio_samples": int(np.asarray(result.audio).shape[-1]),
@@ -930,6 +1006,8 @@ def main():
               f"backend={jax.devices()[0].platform}", flush=True)
         mutated = {"latents", "audio_latents", "neg_cache_v", "neg_cache_a"}
         k_int = args.cfg_cache_interval
+        per_step = (args.fetch_every_step
+                    or os.environ.get("DF_E2E_FETCH_EVERY_STEP") == "1")
         cache_dead = (b >= args.steps or b == _boundary_step(args)
                       or k_int <= 1 or b % k_int == 0)
         copiers = slicers = pinners = None
@@ -943,7 +1021,7 @@ def main():
                     v = state[leaf]
                     copiers.warm(np.shape(v), v.dtype)
                     slicers.warm(np.shape(v), v.dtype)
-                    if not cache_dead:  # carried caches are f32, same shapes
+                    if per_step or not cache_dead:  # carried caches are f32
                         copiers.warm(np.shape(v), np.float32)
                         slicers.warm(np.shape(v), np.float32)
             except Exception as e:  # noqa: BLE001
@@ -971,7 +1049,64 @@ def main():
                     pinners = None
         t0 = time.time()
         _progress.last = t0  # first step's dt = real wall incl. compile
-        state = pipe.denoise_state(state, max_steps=b - a)
+        start = int(state.get("step", a))  # may be mid-chunk (per-step saves)
+        if per_step and not fresh:
+            # per-step fetch+save (see --fetch_every_step help): the state
+            # after each step is pulled through the warm machinery while
+            # the d2h pool is still young and persisted immediately; the
+            # CFG cache is carried (except where the next step refreshes
+            # it) so a resume from ANY step is bit-identical
+            boundary = _boundary_step(args)
+            base_keep = dict(load_state(state_path))
+
+            def _save_step(st, cur):
+                drop = (cur >= args.steps or cur == boundary
+                        or k_int <= 1 or cur % k_int == 0)
+                keys = ["latents", "audio_latents"]
+                if not drop and st.get("neg_cache_v") is not None:
+                    keys += ["neg_cache_v", "neg_cache_a"]
+                outd = dict(base_keep)
+                t1 = time.time()
+                for kk in sorted(keys, key=lambda kk: int(
+                        np.prod(np.shape(st[kk])))):
+                    got = None
+                    if slicers is not None:
+                        for ch in _SLICE_ELEMS:
+                            try:
+                                got = slicers.fetch(st[kk], ch)
+                                break
+                            except Exception:  # noqa: BLE001
+                                continue
+                    if got is None:
+                        got = fetch_chunked(st[kk], chunk_mib=4,
+                                            attempts=2, backoff_s=45.0)
+                    outd[kk] = got
+                if drop:
+                    outd["neg_cache_v"] = outd["neg_cache_a"] = None
+                for kk, vv in st.items():
+                    if kk in ("settings", "step") or vv is None:
+                        outd[kk] = vv
+                save_state(outd, state_path)
+                print(f"[e2e] step {cur} state saved "
+                      f"({time.time() - t1:.1f}s fetch"
+                      f"{', cache dropped' if drop else ''})", flush=True)
+
+            cur = start
+            while cur < b:
+                state = pipe.denoise_state(state, max_steps=1)
+                cur = int(state["step"])
+                try:
+                    _save_step(state, cur)
+                except Exception as e:  # noqa: BLE001
+                    print(f"[e2e] per-step fetch died at step {cur} "
+                          f"({type(e).__name__}: {str(e)[:120]}); progress "
+                          f"saved through step {cur - 1}", flush=True)
+                    sys.exit(3)
+            print(f"[e2e] worker [{a}, {b}): {time.time() - t0:.1f}s  "
+                  f"HBM in use {hbm_in_use_gb():.1f} GB (per-step saves)",
+                  flush=True)
+            return
+        state = pipe.denoise_state(state, max_steps=b - start)
         print(f"[e2e] worker [{a}, {b}): {time.time() - t0:.1f}s  "
               f"HBM in use {hbm_in_use_gb():.1f} GB", flush=True)
         # Post-worker d2h is the fragile operation on the tunneled client
@@ -1178,7 +1313,10 @@ def main():
                                 fps=result.fps,
                                 sample_rate=result.sample_rate)
     timings["mux_s"] = round(time.time() - t0, 1)
-    print(json.dumps(summarize(result, out, {})))
+    summary = summarize(result, out, {})
+    with open(os.path.join(state_dir, "e2e_summary.json"), "w") as f:
+        json.dump(summary, f)
+    print(json.dumps(summary))
 
 
 def orchestrate(args):
@@ -1251,6 +1389,7 @@ def orchestrate(args):
             ("--cfg_cache_interval", args.cfg_cache_interval),
             ("--group_size", args.group_size),
             ("--attn_type", args.attn_type), ("--quant", args.quant),
+            ("--offload", args.offload),
             ("--seed", args.seed),
             ("--output", args.output),
             ("--vae_encode_dtype", args.vae_encode_dtype),
@@ -1264,6 +1403,8 @@ def orchestrate(args):
         base += ["--resident_small"]
     if args.resident_groups:
         base += ["--resident_groups", str(args.resident_groups)]
+    if args.fetch_every_step:
+        base += ["--fetch_every_step"]
 
     # prepare_state runs in its OWN worker: prompt/VAE-encode staging pins
     # host copies of every module it stages, and adding denoise passes on
@@ -1284,23 +1425,42 @@ def orchestrate(args):
           f"boundary step {boundary}, chunks {chunks})", flush=True)
     t0 = time.time()
 
+    def _disk_step():
+        p = os.path.join(state_dir, "e2e_state.npz")
+        try:
+            return int(load_state(p)["step"])
+        except Exception:  # noqa: BLE001
+            return -1
+
     def run_retry(argv, what, timeout_s=5400.0):
         # a worker that dies on a saturated tunnel (RESOURCE_EXHAUSTED on
         # the state d2h) is safely re-runnable: the on-disk state is only
-        # replaced at the end, so a fresh process (fresh transfer pool)
-        # just re-does the same steps. The timeout guards against the other
-        # observed failure mode: a d2h that wedges forever with no progress.
-        for k in range(3):
+        # replaced at the end (or advances monotonically per step under
+        # --fetch_every_step, where a relaunch resumes mid-chunk). The
+        # timeout guards against the other observed failure mode: a d2h
+        # that wedges forever with no progress. An attempt that ADVANCED
+        # the on-disk step does not consume the retry budget.
+        k, last = 0, _disk_step()
+        while k < 4:
             try:
                 rc = subprocess.run(argv, timeout=timeout_s).returncode
             except subprocess.TimeoutExpired:
                 rc = "timeout"
             if rc == 0:
                 return
-            print(f"[e2e] {what} failed rc={rc} "
-                  f"(attempt {k + 1}/3)", flush=True)
-            time.sleep(60.0)
-        raise SystemExit(f"{what} failed after 3 attempts")
+            now = _disk_step()
+            if now > last:
+                print(f"[e2e] {what} rc={rc} but advanced to step {now}; "
+                      f"retry budget reset", flush=True)
+                last, k = now, 0
+            else:
+                k += 1
+                print(f"[e2e] {what} failed rc={rc} "
+                      f"(attempt {k}/4)", flush=True)
+            # a transport-failed worker leaves the relay's d2h pool
+            # drained; observed recovery time is minutes, not seconds
+            time.sleep(240.0)
+        raise SystemExit(f"{what} failed after 4 attempts")
 
     # patient-fetch settings extend the per-worker kill timeout
     worker_tmo = (5400.0 + args.fetch_quiet_s
