@@ -96,10 +96,12 @@ def parse_args():
                         "bf16 is required at 720p on 16 GB chips (f32 "
                         "streaming encode needs ~18 GB HBM)")
     p.add_argument("--quantize", type=str, default="none",
-                   choices=["none", "int8"],
-                   help="int8 pre-quantizes DiT/bridge projections (w8a8 on "
-                        "the MXU; lossy, inference-only, composes with "
-                        "--attn_type sage)")
+                   choices=["none", "int8", "int4"],
+                   help="int8 pre-quantizes DiT/bridge projections (w8a8 "
+                        "on the MXU); int4 packs tower kernels to 0.5 "
+                        "B/param for full HBM residency on 16 GB chips; "
+                        "both lossy, inference-only, compose with "
+                        "--attn_type sage")
     p.add_argument("--compile_cache", type=str,
                    default=os.path.expanduser("~/.cache/dualforce_jax"),
                    help="persistent XLA compilation cache dir ('' disables); "

@@ -28,8 +28,9 @@ def main():
     ap.add_argument("--fsdp_size", type=int, default=1)
     ap.add_argument("--attn_type", type=str, default="auto")
     ap.add_argument("--quantize", type=str, default="none",
-                    choices=["none", "int8"],
-                    help="int8 w8a8 projections (lossy serving accelerator)")
+                    choices=["none", "int8", "int4"],
+                    help="int8 w8a8 projections (lossy serving accelerator); "
+                         "int4 packed tower kernels (HBM residency)")
     ap.add_argument("--queue_timeout_s", type=float, default=None,
                     help="fail tasks that wait in the queue longer than this "
                          "(per-request timeout_s overrides)")
