@@ -308,7 +308,7 @@ def load_tree_cache(cache_dir: str, mods=_QUANT_TOWERS, log=print):
 
     dt = {"float8_e4m3fn": ml_dtypes.float8_e4m3fn,
           "bfloat16": ml_dtypes.bfloat16, "float32": np.float32,
-          "int8": np.int8}
+          "int8": np.int8, "uint8": np.uint8}
     out = {}
     for mod in mods:
         d = os.path.join(cache_dir, mod)
