@@ -138,21 +138,26 @@ def forward_dual_tower(
         return vx, ax
 
     if interact == list(range(min_layers)):
-        # Fast path: single fused scan over the shared depth.
-        def step(carry, layer_p):
+        # Fast path: single fused scan over the shared depth. The per-layer
+        # params are DYNAMIC-SLICED from the full stacked trees inside the
+        # body (index xs) instead of passing pre-sliced `[:min_layers]`
+        # copies as scan xs: XLA materializes those static slices as HLO
+        # temps — ~3.5 GB of pure duplication at flagship scale (measured
+        # in the round-5 int4-resident OOM dump), while a per-iteration
+        # dynamic slice reads the original buffer exactly like scan's own
+        # xs indexing.
+        def step(carry, i):
             vx, ax = carry
-            a2v_p, v2a_p, vb_p, ab_p = layer_p
-            out = shared_layer(vx, ax, a2v_p, v2a_p, vb_p, ab_p, True)
+            out = shared_layer(vx, ax,
+                               nn.index_params(bridge_params["a2v"], i),
+                               nn.index_params(bridge_params["v2a"], i),
+                               nn.index_params(video_blocks, i),
+                               nn.index_params(audio_blocks, i), True)
             return out, None
 
         body = jax.checkpoint(step) if remat else step
-        xs = (
-            bridge_params["a2v"],
-            bridge_params["v2a"],
-            jax.tree.map(lambda a: a[:min_layers], video_blocks),
-            jax.tree.map(lambda a: a[:min_layers], audio_blocks),
-        )
-        (visual_x, audio_x), _ = jax.lax.scan(body, (visual_x, audio_x), xs)
+        (visual_x, audio_x), _ = jax.lax.scan(
+            body, (visual_x, audio_x), jnp.arange(min_layers))
     else:
         # General path: unrolled python loop with sparse bridge lookups
         # (non-"full" strategies are small research configs).
@@ -173,14 +178,15 @@ def forward_dual_tower(
     # video-only tail (pipeline_mova.py:698-702)
     num_video_layers = jax.tree.leaves(video_blocks)[0].shape[0]
     if num_video_layers > min_layers:
-        def vstep(vx, vb_p):
+        def vstep(vx, i):
+            vb_p = nn.index_params(video_blocks, i)
             if layer_param_map is not None:
                 vb_p = layer_param_map("video", vb_p)
             return vblock(vb_p, vx, visual_ctx, visual_t_mod, visual_rope), None
 
         vbody = jax.checkpoint(vstep) if remat else vstep
-        tail = jax.tree.map(lambda a: a[min_layers:], video_blocks)
-        visual_x, _ = jax.lax.scan(vbody, visual_x, tail)
+        visual_x, _ = jax.lax.scan(vbody, visual_x,
+                                   jnp.arange(min_layers, num_video_layers))
 
     visual_x = constrain(visual_x, "video_tokens")
     audio_x = constrain(audio_x, "audio_tokens")
