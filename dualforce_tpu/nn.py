@@ -377,8 +377,12 @@ def stack_params(param_list: Sequence[dict]) -> dict:
 
 
 def index_params(params: dict, i) -> dict:
-    """Select layer i from stacked params."""
-    return jax.tree.map(lambda x: x[i], params)
+    """Select layer i from stacked params.
+
+    ``i`` may be a Python int or a traced index (lax.scan carry over layers);
+    numpy leaves are promoted to jnp so tracer indexing lowers to a
+    dynamic-slice instead of calling ``__array__`` on the tracer."""
+    return jax.tree.map(lambda x: jnp.asarray(x)[i], params)
 
 
 def param_count(params) -> int:
